@@ -1,0 +1,29 @@
+"""lantern-tpu: a TPU-native vector index and search framework.
+
+A brand-new JAX/XLA/Pallas re-design of the capabilities of Lantern
+(lanterndata/lantern, a PostgreSQL HNSW extension — see SURVEY.md):
+
+- HNSW graph index over dense vectors with l2sq / cosine / hamming metrics
+  (reference: lantern_hnsw/src/hnsw.c:354-405 distance UDFs,
+  lantern_hnsw/src/hnsw/scan.c search path).
+- Batched, device-resident beam search: per-query pointer chasing becomes
+  batched frontier expansion over an HBM-resident padded CSR neighbor array.
+- Batched graph construction replacing the single-tuple insert path
+  (lantern_hnsw/src/hnsw/insert.c) and the multi-threaded external index
+  server (lantern_cli/src/external_index/server.rs).
+- Product quantization (codebook k-means + asymmetric-distance search) and
+  scalar quantization (f16 / i8 / 1-bit), mirroring
+  lantern_hnsw/src/hnsw/product_quantization.c and options.c quant_bits.
+- Snapshot/restore, structural validation, cost model, autotuning, ingest
+  service, and the surrounding ecosystem (BM25, bloom, stemming, dataset
+  loaders, embeddings) from lantern_cli / lantern_extras.
+"""
+
+__version__ = "0.1.0"
+
+from lantern_tpu.config import (  # noqa: F401
+    Metric,
+    QuantKind,
+    HnswParams,
+    SearchParams,
+)

@@ -1,0 +1,24 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of testing multi-node behavior with local
+processes only (lantern_hnsw/scripts/test_wal.py uses testgres clusters); we
+use XLA's forced host platform device count instead of real TPU chips.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xA47E60DB)  # the reference's header magic
