@@ -1,0 +1,113 @@
+"""Device-resident graph arrays — the HBM-resident padded CSR.
+
+Replaces the reference's on-page node tape (8-byte label + 2-byte level +
+per-level padded neighbor-slot lists + vector bytes packed into 8 KB Postgres
+pages — usearch_storage.cpp:19-32, validate_index.c:122-226) with flat,
+statically-shaped device arrays:
+
+- ``vectors[cap, dim]``        storage dtype (f32 / bf16 / i8 / packed u32)
+- ``neighbors0[cap+1, 2M]``    level-0 adjacency, -1 padded; row `cap` is the
+                               all-invalid dummy row so clipped gathers of
+                               invalid ids read garbage-free padding
+- ``upper_neighbors[ucap, LMAX, M]`` adjacency for the ~N/M nodes with level≥1
+- ``upper_slot[cap]``          node id -> upper slot (-1 for level-0 nodes)
+- ``labels[cap]``, ``deleted[cap]``   external keys + tombstones (delete.c)
+- ``entry / max_level / num_nodes``   scalars (the reference keeps these in the
+                               136-byte usearch header on page 0)
+
+seqid IS the array index — the reference's two-pass seqid→TID neighbor
+rewrite (external_index.c:373-418) is unnecessary by construction.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lantern_tpu.config import Metric
+
+
+@struct.dataclass
+class DeviceGraph:
+    vectors: jax.Array          # [cap, width] storage dtype
+    sq_norms: jax.Array         # [cap] f32 (zeros for hamming)
+    neighbors0: jax.Array       # [cap+1, m0] int32
+    upper_neighbors: jax.Array  # [ucap, LMAX, m] int32
+    upper_slot: jax.Array       # [cap] int32
+    levels: jax.Array           # [cap] int32
+    labels: jax.Array           # [cap, 2] uint32 (lo, hi) — u64 split because
+                                # device x64 is off by default in JAX
+    deleted: jax.Array          # [cap] bool
+    entry: jax.Array            # [] int32
+    max_level: jax.Array        # [] int32
+    num_nodes: jax.Array        # [] int32
+    # static (hashable) metadata — changing these retriggers jit
+    m: int = struct.field(pytree_node=False, default=16)
+    dim: int = struct.field(pytree_node=False, default=0)
+    metric: int = struct.field(pytree_node=False, default=int(Metric.L2SQ))
+
+    @property
+    def cap(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def m0(self) -> int:
+        return self.neighbors0.shape[1]
+
+
+def _sq_norms_np(vectors: np.ndarray, metric: Metric) -> np.ndarray:
+    if metric == Metric.HAMMING:
+        return np.zeros(vectors.shape[0], np.float32)
+    v = vectors.astype(np.float32)
+    return np.einsum("nd,nd->n", v, v).astype(np.float32)
+
+
+def split_labels(labels_u64: np.ndarray) -> np.ndarray:
+    """u64 labels -> [n, 2] uint32 (lo, hi)."""
+    lab = np.asarray(labels_u64, np.uint64)
+    return np.stack(
+        [(lab & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+         (lab >> np.uint64(32)).astype(np.uint32)],
+        axis=1,
+    )
+
+
+def join_labels(pairs: np.ndarray) -> np.ndarray:
+    """[n, 2] uint32 (lo, hi) -> u64 labels."""
+    p = np.asarray(pairs, np.uint32)
+    return p[..., 0].astype(np.uint64) | (p[..., 1].astype(np.uint64) << np.uint64(32))
+
+
+def to_device(host, dtype=None) -> DeviceGraph:
+    """Copy a HostHnsw (or snapshot arrays) into a DeviceGraph.
+
+    ``dtype`` optionally converts float vector storage (e.g. jnp.bfloat16).
+    """
+    metric = Metric(host.metric)
+    n = host.n
+    vectors = host.vectors[:n]
+    sqn = _sq_norms_np(vectors, metric)
+    vec_dev = jnp.asarray(vectors)
+    if dtype is not None and metric != Metric.HAMMING:
+        vec_dev = vec_dev.astype(dtype)
+    nbr0 = np.concatenate(
+        [host.neighbors0[:n], np.full((1, host.p.m0), -1, np.int32)], axis=0
+    )
+    return DeviceGraph(
+        vectors=vec_dev,
+        sq_norms=jnp.asarray(sqn),
+        neighbors0=jnp.asarray(nbr0),
+        upper_neighbors=jnp.asarray(host.upper_neighbors[: max(host.n_upper, 1)]),
+        upper_slot=jnp.asarray(host.upper_slot[:n]),
+        levels=jnp.asarray(host.levels[:n]),
+        labels=jnp.asarray(split_labels(host.labels[:n])),
+        deleted=jnp.asarray(host.deleted[:n]),
+        entry=jnp.asarray(host.entry, jnp.int32),
+        max_level=jnp.asarray(host.max_level, jnp.int32),
+        num_nodes=jnp.asarray(n, jnp.int32),
+        m=host.p.m,
+        dim=host.p.dim,
+        metric=int(metric),
+    )

@@ -1,0 +1,261 @@
+"""Batched HNSW search on device — frontier expansion over padded CSR arrays.
+
+The reference's per-query scan (usearch_search_ef: greedy top-layer descent +
+ef-bounded best-first at level 0, every node visit a page pin through
+ldb_wal_index_node_retriever — scan.c:167-338, external_index.c:613-671)
+becomes a *batched* search over a block of Q queries:
+
+- upper-level descent: all queries step in lockstep (one lax.while_loop per
+  level nest), gathering the compact upper adjacency;
+- level 0: a beam of ef candidates per query; each iteration expands the
+  ``expand`` best unexpanded beam entries, gathers their neighbor lists,
+  masks visited nodes, computes all candidate distances as one fused
+  gather+contraction, and merges via jax.lax.top_k;
+- termination: the classic HNSW criterion (best unexpanded > worst of a full
+  beam) vectorized as a per-query active mask inside lax.while_loop.
+
+Deleted nodes participate in traversal but are filtered from results,
+matching the tombstone semantics of scan.c:296-300 / delete.c.
+
+Everything is statically shaped: beam width ef, candidate block expand*2M,
+visited set a [Q, cap+1] byte mask (row cap+1 is the spill slot for clipped
+invalid ids). No data-dependent shapes anywhere, so XLA compiles one fused
+program per (ef, k, expand) configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lantern_tpu.config import Metric, SearchParams
+from lantern_tpu.graph.device import DeviceGraph
+from lantern_tpu.ops.distance import _popcount_u32
+
+LMAX = 16  # must match host_build.LMAX
+
+_INF = jnp.inf
+
+
+def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids):
+    """Distances from each query to its candidate ids.
+
+    queries [Q, w], cand_ids [Q, C] (pre-clipped to valid range) -> [Q, C] f32.
+    """
+    metric = Metric(graph.metric)
+    vecs = graph.vectors[cand_ids]  # [Q, C, w] gather
+    if metric == Metric.HAMMING:
+        x = jnp.bitwise_xor(queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32))
+        return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
+    dots = jnp.einsum(
+        "qd,qcd->qc",
+        queries.astype(jnp.float32),
+        vecs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Metric.L2SQ:
+        return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
+    # cosine
+    qn = jnp.sqrt(q_sq)[:, None]
+    xn = jnp.sqrt(graph.sq_norms[cand_ids])
+    return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
+
+
+def _upper_descent(graph: DeviceGraph, queries, q_sq):
+    """Greedy 1-beam descent from the entry point down to level 1.
+
+    Returns the per-query entry node for the level-0 beam search.
+    """
+    q = queries.shape[0]
+    m = graph.upper_neighbors.shape[2]
+    ucap = graph.upper_neighbors.shape[0]
+    flat_upper = graph.upper_neighbors.reshape(ucap * LMAX, m)
+    cap = graph.cap
+
+    curr = jnp.full((q,), graph.entry, jnp.int32)
+    curr_d = _candidate_dists(graph, queries, q_sq, curr[:, None])[:, 0]
+
+    def level_cond(state):
+        lvl, _, _ = state
+        return lvl >= 1
+
+    def level_body(state):
+        lvl, curr, curr_d = state
+
+        def greedy_cond(s):
+            _, _, improving, steps = s
+            return jnp.logical_and(jnp.any(improving), steps < 64)
+
+        def greedy_body(s):
+            curr, curr_d, improving, steps = s
+            slot = jnp.clip(graph.upper_slot[curr], 0, ucap - 1)
+            rows = slot * LMAX + (lvl - 1)
+            nbrs = flat_upper[rows]  # [Q, m]
+            valid = nbrs >= 0
+            ids = jnp.where(valid, nbrs, 0)
+            d = _candidate_dists(graph, queries, q_sq, ids)
+            d = jnp.where(valid, d, _INF)
+            j = jnp.argmin(d, axis=1)
+            best_d = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+            best_id = jnp.take_along_axis(nbrs, j[:, None], axis=1)[:, 0]
+            better = jnp.logical_and(improving, best_d < curr_d)
+            curr = jnp.where(better, best_id, curr)
+            curr_d = jnp.where(better, best_d, curr_d)
+            return curr, curr_d, better, steps + 1
+
+        curr, curr_d, _, _ = jax.lax.while_loop(
+            greedy_cond,
+            greedy_body,
+            (curr, curr_d, jnp.ones((q,), bool), jnp.int32(0)),
+        )
+        return lvl - 1, curr, curr_d
+
+    _, curr, curr_d = jax.lax.while_loop(
+        level_cond, level_body, (graph.max_level, curr, curr_d)
+    )
+    del cap
+    return curr, curr_d
+
+
+def _dedup_fresh(ids, fresh):
+    """Within-row dedup: keep only the first occurrence of each id."""
+    q, c = ids.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
+    key = jnp.where(fresh, ids, -1 - iota)  # invalids get unique negatives
+    order = jnp.argsort(key, axis=1)
+    skey = jnp.take_along_axis(key, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((q, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1
+    )
+    dup = jnp.zeros((q, c), bool).at[
+        jnp.arange(q)[:, None], order
+    ].set(dup_sorted)
+    return jnp.logical_and(fresh, jnp.logical_not(dup))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ef", "expand", "max_iters"))
+def search_batched(
+    graph: DeviceGraph,
+    queries: jax.Array,
+    k: int = 10,
+    ef: int = 64,
+    expand: int = 1,
+    max_iters: int | None = None,
+):
+    """Batched k-NN search. queries [Q, width] -> (dists, ids, labels) [Q, k].
+
+    Invalid result slots (fewer than k reachable live nodes) have id -1,
+    dist +inf, label 0.
+    """
+    ef = max(ef, k)
+    if max_iters is None:
+        max_iters = 2 * ef // expand + 16
+    q = queries.shape[0]
+    cap = graph.cap
+    m0 = graph.m0
+    c = expand * m0
+    rowq = jnp.arange(q)[:, None]
+
+    metric = Metric(graph.metric)
+    if metric == Metric.HAMMING:
+        q_sq = jnp.zeros((q,), jnp.float32)
+    else:
+        qf = queries.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)
+
+    entry_ids, entry_d = _upper_descent(graph, queries, q_sq)
+
+    # ---- level-0 beam state ----
+    beam_d = jnp.full((q, ef), _INF).at[:, 0].set(entry_d)
+    beam_ids = jnp.full((q, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
+    expanded = jnp.zeros((q, ef), bool)
+    visited = jnp.zeros((q, cap + 1), bool).at[rowq[:, 0], entry_ids].set(True)
+
+    def active_mask(beam_d, beam_ids, expanded):
+        valid = beam_ids >= 0
+        unexp = jnp.logical_and(valid, jnp.logical_not(expanded))
+        best_unexp = jnp.min(jnp.where(unexp, beam_d, _INF), axis=1)
+        worst = beam_d[:, -1]  # inf while beam not full
+        return jnp.logical_and(jnp.any(unexp, axis=1), best_unexp <= worst)
+
+    def cond(state):
+        beam_d, beam_ids, expanded, visited, it = state
+        return jnp.logical_and(
+            it < max_iters, jnp.any(active_mask(beam_d, beam_ids, expanded))
+        )
+
+    def body(state):
+        beam_d, beam_ids, expanded, visited, it = state
+        act = active_mask(beam_d, beam_ids, expanded)
+
+        # pick `expand` best unexpanded entries per active query
+        unexp_d = jnp.where(
+            jnp.logical_and(beam_ids >= 0, jnp.logical_not(expanded)), beam_d, _INF
+        )
+        unexp_d = jnp.where(act[:, None], unexp_d, _INF)
+        neg, pos = jax.lax.top_k(-unexp_d, expand)  # [Q, E]
+        sel_valid = jnp.isfinite(neg)
+        expanded = expanded.at[rowq, pos].max(sel_valid)
+        exp_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
+        exp_ids = jnp.where(sel_valid, exp_ids, cap)
+
+        # gather neighbor lists -> candidate block [Q, C]
+        nbrs = graph.neighbors0[exp_ids].reshape(q, c)
+        valid = nbrs >= 0
+        nbrs_c = jnp.where(valid, nbrs, cap)
+        seen = jnp.take_along_axis(visited, nbrs_c, axis=1)
+        fresh = jnp.logical_and(valid, jnp.logical_not(seen))
+        if expand > 1:
+            fresh = _dedup_fresh(nbrs, fresh)
+        visited = visited.at[rowq, jnp.where(fresh, nbrs_c, cap)].set(True)
+
+        d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0))
+        d = jnp.where(fresh, d, _INF)
+
+        # merge candidates into beam via top-k over the concatenation
+        cat_d = jnp.concatenate([beam_d, d], axis=1)
+        cat_ids = jnp.concatenate([beam_ids, jnp.where(fresh, nbrs, -1)], axis=1)
+        cat_exp = jnp.concatenate([expanded, jnp.zeros((q, c), bool)], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, ef)
+        beam_d = -neg_top
+        beam_ids = jnp.take_along_axis(cat_ids, arg, axis=1)
+        expanded = jnp.take_along_axis(cat_exp, arg, axis=1)
+        return beam_d, beam_ids, expanded, visited, it + 1
+
+    beam_d, beam_ids, expanded, visited, _ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_ids, expanded, visited, jnp.int32(0))
+    )
+
+    # filter tombstones + invalid, take final top-k (delete.c semantics)
+    dead = graph.deleted[jnp.clip(beam_ids, 0, cap - 1)]
+    final_d = jnp.where(
+        jnp.logical_or(beam_ids < 0, dead), _INF, beam_d
+    )
+    neg_top, arg = jax.lax.top_k(-final_d, k)
+    out_d = -neg_top
+    out_ids = jnp.where(
+        jnp.isfinite(out_d), jnp.take_along_axis(beam_ids, arg, axis=1), -1
+    )
+    out_labels = jnp.where(
+        (out_ids >= 0)[:, :, None],
+        graph.labels[jnp.clip(out_ids, 0, cap - 1)],
+        jnp.uint32(0),
+    )  # [Q, k, 2] u32 pairs; join with device.join_labels on host
+    return out_d, out_ids, out_labels
+
+
+def search(graph: DeviceGraph, queries, params: SearchParams | None = None, **kw):
+    """Convenience wrapper taking SearchParams (GUC-analog knobs)."""
+    params = params or SearchParams()
+    ef = params.ef if params.ef is not None else max(64, params.k)
+    return search_batched(
+        graph,
+        queries,
+        k=params.k,
+        ef=ef,
+        expand=params.expand,
+        max_iters=params.max_iters,
+        **kw,
+    )
