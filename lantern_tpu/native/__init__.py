@@ -1,0 +1,243 @@
+"""ctypes binding for the native HNSW engine (hnsw_engine.cpp).
+
+Compiled on demand with g++ (no pybind11 in this environment; plain C ABI).
+``NativeHnsw`` is duck-type compatible with graph.host_build.HostHnsw, so
+``graph.device.to_device`` accepts either.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams, Metric
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hnsw_engine.cpp")
+LMAX = 16
+
+
+def _build_lib() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "LANTERN_TPU_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "lantern_tpu_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so = os.path.join(cache_dir, f"libhnsw_{digest}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-pthread", "-o", tmp, _SRC,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
+    return so
+
+
+_lib = None
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_build_lib())
+        lib.ldb_index_new.restype = ctypes.c_void_p
+        lib.ldb_index_new.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_uint64,
+        ]
+        lib.ldb_index_free.argtypes = [ctypes.c_void_p]
+        lib.ldb_index_add.restype = ctypes.c_int64
+        lib.ldb_index_add.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.ldb_index_search.restype = ctypes.c_int32
+        lib.ldb_index_search.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.ldb_index_mark_deleted.restype = ctypes.c_int64
+        lib.ldb_index_mark_deleted.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.ldb_index_stats.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        for name in (
+            "ldb_index_vectors", "ldb_index_neighbors0", "ldb_index_counts0",
+            "ldb_index_upper_neighbors", "ldb_index_upper_counts",
+            "ldb_index_upper_slot", "ldb_index_levels", "ldb_index_labels",
+            "ldb_index_deleted",
+        ):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_void_p
+            fn.argtypes = [ctypes.c_void_p]
+        lib.ldb_index_error.restype = ctypes.c_char_p
+        lib.ldb_index_error.argtypes = [ctypes.c_void_p]
+        lib.ldb_index_import.restype = ctypes.c_int32
+        lib.ldb_index_import.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+             ctypes.c_int32] + [ctypes.c_void_p] * 9
+        )
+        _lib = lib
+    return _lib
+
+
+def _as_np(ptr: int, shape, dtype):
+    size = int(np.prod(shape))
+    buf = (ctypes.c_char * (size * np.dtype(dtype).itemsize)).from_address(ptr)
+    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+
+
+class NativeHnsw:
+    """Multicore native HNSW index (duck-typed like HostHnsw)."""
+
+    def __init__(self, params: HnswParams, capacity: int = 1024, seed: int = 0):
+        self.p = params
+        self.metric = Metric(params.metric)
+        if self.metric == Metric.HAMMING:
+            self.words = -(-params.dim // 32)
+            self._vec_dtype = np.uint32
+            self._vec_width = self.words
+        else:
+            self._vec_dtype = np.float32
+            self._vec_width = params.dim
+        self._cap = max(int(capacity), 8)
+        self._lib = get_lib()
+        self._h = self._lib.ldb_index_new(
+            params.dim, self._vec_width, params.m, params.ef_construction,
+            int(self.metric), self._cap, seed,
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.ldb_index_free(h)
+            self._h = None
+
+    # ---- stats ----
+    def _stats(self):
+        n = ctypes.c_int64()
+        nu = ctypes.c_int64()
+        entry = ctypes.c_int32()
+        ml = ctypes.c_int32()
+        cap = ctypes.c_int64()
+        ucap = ctypes.c_int64()
+        self._lib.ldb_index_stats(
+            self._h, ctypes.byref(n), ctypes.byref(nu), ctypes.byref(entry),
+            ctypes.byref(ml), ctypes.byref(cap), ctypes.byref(ucap),
+        )
+        return n.value, nu.value, entry.value, ml.value, cap.value, ucap.value
+
+    @property
+    def n(self):
+        return self._stats()[0]
+
+    @property
+    def n_upper(self):
+        return self._stats()[1]
+
+    @property
+    def entry(self):
+        return self._stats()[2]
+
+    @property
+    def max_level(self):
+        return self._stats()[3]
+
+    # ---- array views (copy-on-read for safety) ----
+    def _view(self, name, shape, dtype):
+        ptr = getattr(self._lib, name)(self._h)
+        return _as_np(ptr, shape, dtype)
+
+    @property
+    def vectors(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_vectors", (cap, self._vec_width), self._vec_dtype)
+
+    @property
+    def neighbors0(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_neighbors0", (cap, self.p.m0), np.int32)
+
+    @property
+    def counts0(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_counts0", (cap,), np.int32)
+
+    @property
+    def upper_neighbors(self):
+        _, _, _, _, _, ucap = self._stats()
+        return self._view("ldb_index_upper_neighbors", (ucap, LMAX, self.p.m), np.int32)
+
+    @property
+    def upper_counts(self):
+        _, _, _, _, _, ucap = self._stats()
+        return self._view("ldb_index_upper_counts", (ucap, LMAX), np.int32)
+
+    @property
+    def upper_slot(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_upper_slot", (cap,), np.int32)
+
+    @property
+    def levels(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_levels", (cap,), np.int32)
+
+    @property
+    def labels(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_labels", (cap,), np.uint64)
+
+    @property
+    def deleted(self):
+        _, _, _, _, cap, _ = self._stats()
+        return self._view("ldb_index_deleted", (cap,), np.uint8).astype(bool)
+
+    # ---- operations ----
+    def add(self, vecs: np.ndarray, labels: np.ndarray | None = None,
+            nthreads: int = 0):
+        vecs = np.ascontiguousarray(vecs, dtype=self._vec_dtype)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if vecs.shape[1] != self._vec_width:
+            raise ValueError(
+                f"vector width {vecs.shape[1]} != expected {self._vec_width}"
+            )
+        if labels is None:
+            labels = np.arange(self.n, self.n + len(vecs), dtype=np.uint64)
+        labels = np.ascontiguousarray(labels, np.uint64)
+        rc = self._lib.ldb_index_add(
+            self._h, len(vecs),
+            vecs.ctypes.data_as(ctypes.c_void_p),
+            labels.ctypes.data_as(ctypes.c_void_p),
+            nthreads,
+        )
+        if rc < 0:
+            raise MemoryError(self._lib.ldb_index_error(self._h).decode())
+        return rc
+
+    def search(self, q: np.ndarray, k: int, ef: int | None = None):
+        ef = ef or self.p.ef
+        q = np.ascontiguousarray(q, self._vec_dtype)
+        out_ids = np.empty(max(k, ef), np.int32)
+        out_d = np.empty(max(k, ef), np.float32)
+        cnt = self._lib.ldb_index_search(
+            self._h, q.ctypes.data_as(ctypes.c_void_p), k, ef,
+            out_ids.ctypes.data_as(ctypes.c_void_p),
+            out_d.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out_ids[:cnt].copy(), out_d[:cnt].copy()
+
+    def mark_deleted(self, labels: np.ndarray) -> int:
+        labels = np.ascontiguousarray(labels, np.uint64)
+        return self._lib.ldb_index_mark_deleted(
+            self._h, labels.ctypes.data_as(ctypes.c_void_p), len(labels)
+        )
