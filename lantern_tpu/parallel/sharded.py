@@ -1,0 +1,215 @@
+"""Multi-chip sharded index: SPMD search over a device mesh.
+
+Replaces the reference's horizontal-scaling machinery — the external indexing
+server fleet + router redirect (lantern_cli/src/external_index/server.rs,
+external_index_socket.c:411-447) and the GCP Batch fan-out
+(lantern_cli/src/pq/gcp_batch.rs) — with JAX sharding over a Mesh:
+
+- The node set is partitioned round-robin into S shards; each shard is an
+  independent HNSW subgraph over its partition (built concurrently by the
+  native engine), stacked into arrays with a leading shard axis.
+- Search is a vmap over the shard axis: with the arrays sharded
+  ``P("shard", ...)``, XLA partitions the vmapped program so every device
+  searches its local subgraph; per-shard top-k results are tiny
+  ([S, Q, k]), so the global merge costs ONE all-gather over ICI per query
+  batch instead of a collective per graph hop.
+- Queries can additionally be sharded over a "data" mesh axis (2-D mesh
+  data × shard) for throughput scaling.
+
+Recall characteristics: searching S subgraphs of N/S nodes each with the
+same ef upper-bounds single-graph recall (each partition's exact top-k is a
+subset of the global candidate pool); empirically parity holds at equal ef
+(see tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import flax.struct as struct
+
+from lantern_tpu.config import HnswParams
+from lantern_tpu.graph.device import DeviceGraph, split_labels
+from lantern_tpu.graph.search import search_batched
+
+
+@struct.dataclass
+class ShardedIndex:
+    graphs: DeviceGraph     # every array field has leading shard axis S
+    global_ids: jax.Array   # [S, cap+1] int32: local slot -> global id (-1 pad)
+
+
+def make_mesh(n_shards: int | None = None, data: int = 1) -> Mesh:
+    """Build a (data, shard) mesh over available devices."""
+    devs = np.array(jax.devices())
+    total = len(devs)
+    if n_shards is None:
+        n_shards = total // data
+    if data * n_shards > total:
+        raise ValueError(f"mesh {data}x{n_shards} exceeds {total} devices")
+    return Mesh(devs[: data * n_shards].reshape(data, n_shards), ("data", "shard"))
+
+
+def build_sharded(
+    vectors: np.ndarray,
+    params: HnswParams,
+    mesh: Mesh,
+    labels: np.ndarray | None = None,
+    seed: int = 0,
+    use_native: bool = True,
+    nthreads: int = 0,
+) -> ShardedIndex:
+    """Partition vectors round-robin over the mesh's shard axis and build one
+    subgraph per shard (host side), then place the stacked arrays.
+    """
+    n = len(vectors)
+    s = mesh.shape["shard"]
+    if n < s:
+        raise ValueError(f"need at least one vector per shard ({n} < {s})")
+    if labels is None:
+        labels = np.arange(n, dtype=np.uint64)
+
+    if use_native:
+        from lantern_tpu.native import NativeHnsw as Engine
+    else:
+        from lantern_tpu.graph.host_build import HostHnsw as Engine
+
+    shards = []
+    gids = []
+    max_n = 0
+    max_u = 0
+    for si in range(s):
+        idx = np.arange(si, n, s)
+        eng = Engine(params, capacity=len(idx), seed=seed + si)
+        kw = {"nthreads": nthreads} if use_native else {}
+        eng.add(vectors[idx], labels=labels[idx], **kw)
+        shards.append(eng)
+        gids.append(idx.astype(np.int32))
+        max_n = max(max_n, eng.n)
+        max_u = max(max_u, max(eng.n_upper, 1))
+
+    # stack to a common padded capacity
+    from lantern_tpu.graph.host_build import LMAX
+    from lantern_tpu.graph.device import _sq_norms_np
+    from lantern_tpu.config import Metric
+
+    metric = Metric(params.metric)
+    width = shards[0].vectors.shape[1]
+    S = s
+    vec_np = np.zeros((S, max_n, width), shards[0].vectors.dtype)
+    sqn_np = np.zeros((S, max_n), np.float32)
+    nbr_np = np.full((S, max_n + 1, params.m0), -1, np.int32)
+    upn_np = np.full((S, max_u, LMAX, params.m), -1, np.int32)
+    slt_np = np.full((S, max_n), -1, np.int32)
+    lvl_np = np.zeros((S, max_n), np.int32)
+    lab_np = np.zeros((S, max_n, 2), np.uint32)
+    del_np = np.zeros((S, max_n), bool)
+    # padding slots are marked deleted so they never surface in results
+    entry_np = np.zeros((S,), np.int32)
+    maxl_np = np.zeros((S,), np.int32)
+    nn_np = np.zeros((S,), np.int32)
+    gid_np = np.full((S, max_n + 1), -1, np.int32)
+    for si, eng in enumerate(shards):
+        ni = eng.n
+        vec_np[si, :ni] = eng.vectors[:ni]
+        sqn_np[si, :ni] = _sq_norms_np(eng.vectors[:ni], metric)
+        nbr_np[si, :ni] = eng.neighbors0[:ni]
+        nu = max(eng.n_upper, 1)
+        upn_np[si, :nu] = eng.upper_neighbors[:nu]
+        slt_np[si, :ni] = eng.upper_slot[:ni]
+        lvl_np[si, :ni] = eng.levels[:ni]
+        lab_np[si, :ni] = split_labels(eng.labels[:ni])
+        del_np[si, :ni] = eng.deleted[:ni]
+        del_np[si, ni:] = True
+        entry_np[si] = eng.entry
+        maxl_np[si] = eng.max_level
+        nn_np[si] = ni
+        gid_np[si, :ni] = gids[si][:ni]
+
+    shard0 = NamedSharding(mesh, P("shard"))
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    graphs = DeviceGraph(
+        vectors=put(vec_np, P("shard")),
+        sq_norms=put(sqn_np, P("shard")),
+        neighbors0=put(nbr_np, P("shard")),
+        upper_neighbors=put(upn_np, P("shard")),
+        upper_slot=put(slt_np, P("shard")),
+        levels=put(lvl_np, P("shard")),
+        labels=put(lab_np, P("shard")),
+        deleted=put(del_np, P("shard")),
+        entry=put(entry_np, P("shard")),
+        max_level=put(maxl_np, P("shard")),
+        num_nodes=put(nn_np, P("shard")),
+        m=params.m,
+        dim=params.dim,
+        metric=int(metric),
+    )
+    del shard0
+    return ShardedIndex(graphs=graphs, global_ids=put(gid_np, P("shard")))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ef", "expand", "max_iters"))
+def search_sharded(
+    index: ShardedIndex,
+    queries: jax.Array,
+    k: int = 10,
+    ef: int = 64,
+    expand: int = 1,
+    max_iters: int | None = None,
+):
+    """SPMD search: every shard searches its subgraph, one global top-k merge.
+
+    queries [Q, width] (replicated or data-sharded) ->
+    (dists [Q, k] f32, global ids [Q, k] i32, labels [Q, k, 2] u32).
+    """
+
+    def local_search(graph: DeviceGraph, gids: jax.Array):
+        d, ids, labels = search_batched(
+            graph, queries, k=k, ef=ef, expand=expand, max_iters=max_iters
+        )
+        gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
+        return d, gid, labels
+
+    d, gid, labels = jax.vmap(local_search)(index.graphs, index.global_ids)
+    # [S, Q, k] -> [Q, S*k] global merge (one small cross-shard gather)
+    s = d.shape[0]
+    q = d.shape[1]
+    d2 = jnp.transpose(d, (1, 0, 2)).reshape(q, s * k)
+    gid2 = jnp.transpose(gid, (1, 0, 2)).reshape(q, s * k)
+    lab2 = jnp.transpose(labels, (1, 0, 2, 3)).reshape(q, s * k, 2)
+    neg_top, arg = jax.lax.top_k(-jnp.where(gid2 >= 0, d2, jnp.inf), k)
+    out_d = -neg_top
+    out_gid = jnp.where(
+        jnp.isfinite(out_d), jnp.take_along_axis(gid2, arg, axis=1), -1
+    )
+    out_lab = jnp.take_along_axis(lab2, arg[:, :, None], axis=1)
+    out_lab = jnp.where((out_gid >= 0)[:, :, None], out_lab, jnp.uint32(0))
+    return out_d, out_gid, out_lab
+
+
+@dataclasses.dataclass
+class ShardedSearchStats:
+    """Static description of the sharded program (for planning/costing)."""
+
+    n_shards: int
+    shard_cap: int
+    collective_bytes_per_batch: int
+
+    @classmethod
+    def of(cls, index: ShardedIndex, q: int, k: int) -> "ShardedSearchStats":
+        s = index.global_ids.shape[0]
+        return cls(
+            n_shards=s,
+            shard_cap=index.global_ids.shape[1] - 1,
+            # [S, Q, k] f32+i32+2xu32 gathered to every device
+            collective_bytes_per_batch=s * q * k * 16,
+        )

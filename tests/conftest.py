@@ -7,13 +7,21 @@ use XLA's forced host platform device count instead of real TPU chips.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force an 8-device virtual CPU mesh. This environment pre-imports jax from
+# sitecustomize (axon TPU plugin) and pre-sets JAX_PLATFORMS=axon, so setting
+# env vars alone is not enough — flip the platform through jax.config before
+# any backend initializes. Tests verify correctness and sharding on the CPU
+# mesh; TPU perf runs happen via bench.py / manual drives.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,82 @@
+"""Sharded-index tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams
+from lantern_tpu.graph.device import join_labels
+from lantern_tpu.ops import exact_search
+from lantern_tpu.parallel import build_sharded, make_mesh, search_sharded
+
+
+def _recall(found_ids, true_ids):
+    hits = 0
+    for f, t in zip(found_ids, true_ids):
+        hits += len(set(int(x) for x in f if x >= 0) & set(int(x) for x in t))
+    return hits / true_ids.size
+
+
+@pytest.fixture(scope="module")
+def sharded_ix():
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    rng = np.random.default_rng(30)
+    base = rng.standard_normal((4000, 32)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=32, m=8, ef_construction=64)
+    ix = build_sharded(base, p, mesh, seed=0)
+    return ix, base, mesh
+
+
+def test_sharded_recall(sharded_ix):
+    ix, base, mesh = sharded_ix
+    rng = np.random.default_rng(31)
+    queries = rng.standard_normal((16, 32)).astype(np.float32)
+    d, gids, labels = search_sharded(ix, jnp.array(queries), k=10, ef=48)
+    _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
+    rec = _recall(np.asarray(gids), np.asarray(true_ids))
+    assert rec >= 0.9, f"sharded recall {rec}"
+    # labels == global ids by construction here
+    joined = join_labels(np.asarray(labels))
+    gids = np.asarray(gids)
+    valid = gids >= 0
+    np.testing.assert_array_equal(joined[valid].astype(np.int64), gids[valid])
+
+
+def test_sharded_placement(sharded_ix):
+    ix, base, mesh = sharded_ix
+    # the vectors must actually be sharded over the mesh's shard axis
+    shardings = {
+        d.device for d in ix.graphs.vectors.addressable_shards
+    }
+    assert len(shardings) == 8
+    assert ix.graphs.vectors.sharding.spec[0] == "shard"
+
+
+def test_sharded_dedup_distances_sorted(sharded_ix):
+    ix, base, mesh = sharded_ix
+    rng = np.random.default_rng(32)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    d, gids, _ = search_sharded(ix, jnp.array(queries), k=20, ef=48)
+    d = np.asarray(d)
+    dd = np.where(np.isfinite(d), d, np.inf)
+    assert (np.diff(dd, axis=1) >= -1e-6).all()
+    # no duplicate global ids per query
+    gids = np.asarray(gids)
+    for row in gids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+
+
+def test_sharded_small_n():
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((16, 8)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    ix = build_sharded(base, p, mesh, seed=1)
+    q = jnp.array(base[:3])
+    d, gids, _ = search_sharded(ix, q, k=1, ef=8)
+    np.testing.assert_array_equal(np.asarray(gids)[:, 0], [0, 1, 2])
+    with pytest.raises(ValueError):
+        build_sharded(base[:4], p, mesh)
