@@ -1,0 +1,174 @@
+"""The user-facing Index facade — the framework's main API surface.
+
+Plays the role of the reference's SQL surface for one index: CREATE INDEX
+(build), INSERT (add), DELETE (tombstones), ORDER BY <-> LIMIT k (search),
+validate_index, and snapshot persistence. Host builds run on the native C++
+engine; queries run batched on TPU; labels are arbitrary u64 external keys
+(heap TIDs in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams, Metric, SearchParams
+from lantern_tpu.graph.device import join_labels, to_device
+from lantern_tpu.graph.search import search_batched
+from lantern_tpu.graph.validate import validate
+from lantern_tpu.storage.snapshot import InsertLog, load_snapshot, save_snapshot
+
+
+class Index:
+    """A single HNSW vector index: host engine + device mirror.
+
+    >>> ix = Index(HnswParams(dim=128))
+    >>> ix.add(vectors)                      # build / ingest
+    >>> dists, labels = ix.search(queries)   # batched on device
+    """
+
+    def __init__(
+        self,
+        params: HnswParams,
+        capacity: int = 1024,
+        seed: int = 0,
+        engine: str = "native",
+        log_path: str | None = None,
+    ):
+        self.params = params
+        self._engine_kind = engine
+        if engine == "native":
+            from lantern_tpu.native import NativeHnsw
+
+            self._eng = NativeHnsw(params, capacity=capacity, seed=seed)
+        elif engine == "python":
+            from lantern_tpu.graph.host_build import HostHnsw
+
+            self._eng = HostHnsw(params, capacity=capacity, seed=seed)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
+        self._graph = None  # cached device mirror
+        self._log = None
+        if log_path:
+            self._log = InsertLog(log_path, self._eng.vectors.shape[1],
+                                  self._eng.vectors.dtype)
+
+    # ---- ingest ----
+    def add(self, vectors: np.ndarray, labels: np.ndarray | None = None, **kw):
+        vectors = np.asarray(vectors)
+        if labels is None:
+            labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
+        if self._engine_kind == "native":
+            # grow capacity ahead of need (usearch_reserve doubling semantics)
+            need = self._eng.n + len(vectors)
+            if need > self._eng._cap:
+                self._grow(need)
+        self._eng.add(vectors, labels=labels, **kw)
+        if self._log is not None:
+            self._log.append(np.asarray(vectors, self._eng.vectors.dtype), labels)
+        self._graph = None
+        return self
+
+    def _grow(self, need: int):
+        """Rebuild-free capacity growth: snapshot arrays into a larger engine."""
+        import tempfile
+
+        from lantern_tpu.native import NativeHnsw  # noqa: F401
+
+        with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
+            path = tf.name
+        try:
+            save_snapshot(self._eng, path)
+            new_cap = max(8, self._eng._cap)
+            while new_cap < need:
+                new_cap *= 2
+            self._eng = load_snapshot(path, engine="native",
+                                      extra_capacity=new_cap - self._eng.n)
+        finally:
+            import os
+
+            os.unlink(path)
+
+    def delete(self, labels: np.ndarray) -> int:
+        """Tombstone by label; no space reclamation (delete.c:24-25 parity)."""
+        n = self._eng.mark_deleted(np.asarray(labels, np.uint64))
+        self._graph = None
+        return n
+
+    # ---- query ----
+    @property
+    def device_graph(self):
+        if self._graph is None:
+            self._graph = to_device(self._eng)
+        return self._graph
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        ef: int | None = None,
+        params: SearchParams | None = None,
+    ):
+        """Batched device search -> (dists [Q,k] f32, labels [Q,k] u64).
+
+        Missing results (unreachable/tombstoned) have dist=+inf, label=0.
+        """
+        if params is not None:
+            k, ef = params.k, params.ef
+        ef = ef or self.params.ef
+        import jax.numpy as jnp
+
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries)))
+        d, ids, labels = search_batched(self.device_graph, q, k=k, ef=max(ef, k))
+        return np.asarray(d), join_labels(np.asarray(labels))
+
+    def search_cpu(self, query: np.ndarray, k: int = 10, ef: int | None = None):
+        """Single-query search on the host engine (reference execution model)."""
+        ids, d = self._eng.search(np.asarray(query), k=k, ef=ef or self.params.ef)
+        return d, self._eng.labels[ids] if len(ids) else np.empty(0, np.uint64)
+
+    # ---- maintenance ----
+    def validate(self, full: bool = True):
+        return validate(self._eng, full=full)
+
+    @property
+    def size(self) -> int:
+        return self._eng.n
+
+    @property
+    def num_deleted(self) -> int:
+        return int(np.asarray(self._eng.deleted[: self._eng.n]).sum())
+
+    # ---- persistence ----
+    def save(self, path: str):
+        save_snapshot(self._eng, path)
+        if self._log is not None:
+            self._log.truncate()
+
+    @classmethod
+    def load(cls, path: str, engine: str = "native", extra_capacity: int = 1024,
+             log_path: str | None = None) -> "Index":
+        eng = load_snapshot(path, engine=engine, extra_capacity=extra_capacity)
+        ix = cls.__new__(cls)
+        ix.params = eng.p
+        ix._engine_kind = engine
+        ix._eng = eng
+        ix._graph = None
+        ix._log = None
+        if log_path:
+            import os
+
+            width = eng.vectors.shape[1]
+            if os.path.exists(log_path):
+                # the log is truncated on every save(), so any surviving
+                # records are strictly post-snapshot inserts: replay them
+                vecs, labels = InsertLog.replay(log_path, width, eng.vectors.dtype)
+                if len(vecs):
+                    ix.add(vecs, labels)
+            ix._log = InsertLog(log_path, width, eng.vectors.dtype)
+        return ix
+
+    def __repr__(self):
+        return (
+            f"Index(n={self.size}, dim={self.params.dim}, m={self.params.m}, "
+            f"metric={Metric(self.params.metric).name}, engine={self._engine_kind})"
+        )

@@ -1,0 +1,254 @@
+"""Versioned index snapshots + append-only insert log (the WAL analog).
+
+The reference's durability model (SURVEY.md §5.4): the index IS its own
+checkpoint — a versioned header page (magic 0xa47e60db, version 0x3, params,
+usearch header — external_index.h:20-56) plus packed node pages, all WAL
+logged; single inserts are atomic GenericXLog transactions; version mismatch
+on scan says "Please reindex" (scan.c:103-105).
+
+Here: a snapshot file = fixed little-endian header struct (same magic, our
+format version, all build params persisted so loads don't depend on external
+state — mirroring how reloptions are frozen into the header at build time,
+external_index.c:262-277) + length-prefixed raw arrays. Incremental
+durability between snapshots = InsertLog, an append-only record stream
+(8-byte label + vector payload, framing like the tuple wire format,
+external_index_socket.c:517-536) replayed on load; each record carries a
+CRC so torn tail writes are detected and truncated, which is the crash
+atomicity the reference gets from GenericXLog.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams, Metric, QuantKind
+
+HEADER_MAGIC = 0xA47E60DB  # same magic as the reference header page
+HEADER_VERSION = 1
+_HDR_FMT = "<IIiiiiiiiqqiiiiQ"  # see _pack_header
+_HDR_SIZE = struct.calcsize(_HDR_FMT)
+
+_LOG_MAGIC = 0xA47E60DC
+_LOG_REC_HDR = "<QII"  # label, payload bytes, crc32(payload)
+
+
+def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width) -> bytes:
+    return struct.pack(
+        _HDR_FMT,
+        HEADER_MAGIC,
+        HEADER_VERSION,
+        p.dim,
+        width,
+        p.m,
+        p.ef_construction,
+        p.ef,
+        int(p.metric),
+        int(p.quant),
+        int(n),
+        int(n_upper),
+        int(entry),
+        int(max_level),
+        int(p.pq),
+        p.num_centroids if p.pq else 0,
+        p.effective_num_subvectors if p.pq else 0,
+    )
+
+
+def _unpack_header(buf: bytes):
+    (
+        magic, version, dim, width, m, efc, ef, metric, quant, n, n_upper,
+        entry, max_level, pq, ncent, nsub,
+    ) = struct.unpack(_HDR_FMT, buf)
+    if magic != HEADER_MAGIC:
+        raise ValueError(f"not a lantern-tpu snapshot (magic {magic:#x})")
+    if version != HEADER_VERSION:
+        raise ValueError(
+            f"snapshot version {version} != supported {HEADER_VERSION}; "
+            "please rebuild the index"  # parity with scan.c:103-105
+        )
+    params = HnswParams(
+        dim=dim,
+        m=m,
+        ef_construction=efc,
+        ef=ef,
+        metric=Metric(metric),
+        quant=QuantKind(quant),
+        pq=bool(pq),
+        num_centroids=ncent or 256,
+        num_subvectors=nsub,
+    )
+    return params, width, n, n_upper, entry, max_level
+
+
+def _write_arr(f, arr: np.ndarray):
+    arr = np.ascontiguousarray(arr)
+    meta = f"{arr.dtype.str};{','.join(map(str, arr.shape))}".encode()
+    f.write(struct.pack("<I", len(meta)))
+    f.write(meta)
+    raw = arr.tobytes()
+    f.write(struct.pack("<QI", len(raw), zlib.crc32(raw)))
+    f.write(raw)
+
+
+def _read_arr(f) -> np.ndarray:
+    (mlen,) = struct.unpack("<I", f.read(4))
+    dtype_s, shape_s = f.read(mlen).decode().split(";")
+    shape = tuple(int(x) for x in shape_s.split(",")) if shape_s else ()
+    rlen, crc = struct.unpack("<QI", f.read(12))
+    raw = f.read(rlen)
+    if zlib.crc32(raw) != crc:
+        raise ValueError("snapshot array corrupted (crc mismatch)")
+    return np.frombuffer(raw, dtype=np.dtype(dtype_s)).reshape(shape).copy()
+
+
+# array serialization order (documented, stable)
+_ARRAYS = (
+    "vectors", "neighbors0", "counts0", "upper_neighbors", "upper_counts",
+    "upper_slot", "levels", "labels", "deleted",
+)
+
+
+def save_snapshot(engine, path: str):
+    """Persist a Host/Native HNSW engine. Atomic via rename."""
+    n = engine.n
+    n_upper = max(engine.n_upper, 1)
+    width = engine.vectors.shape[1]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(_pack_header(engine.p, n, n_upper, engine.entry, engine.max_level, width))
+        _write_arr(f, engine.vectors[:n])
+        _write_arr(f, engine.neighbors0[:n])
+        _write_arr(f, engine.counts0[:n])
+        _write_arr(f, engine.upper_neighbors[:n_upper])
+        _write_arr(f, engine.upper_counts[:n_upper])
+        _write_arr(f, engine.upper_slot[:n])
+        _write_arr(f, engine.levels[:n])
+        _write_arr(f, engine.labels[:n])
+        _write_arr(f, engine.deleted[:n].astype(np.uint8))
+    os.replace(tmp, path)
+
+
+def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0):
+    """Load a snapshot into a fresh engine (native C++ or python)."""
+    with open(path, "rb") as f:
+        params, width, n, n_upper, entry, max_level = _unpack_header(f.read(_HDR_SIZE))
+        arrs = {name: _read_arr(f) for name in _ARRAYS}
+
+    cap = n + max(extra_capacity, 0)
+    if engine == "native":
+        import ctypes
+
+        from lantern_tpu.native import NativeHnsw, get_lib
+
+        ix = NativeHnsw(params, capacity=max(cap, 8), seed=0)
+        lib = get_lib()
+
+        def ptr(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            return a, a.ctypes.data_as(ctypes.c_void_p)
+
+        keep = []  # keep arrays alive through the call
+        ptrs = []
+        for name, dt in (
+            ("vectors", arrs["vectors"].dtype), ("neighbors0", np.int32),
+            ("counts0", np.int32), ("upper_neighbors", np.int32),
+            ("upper_counts", np.int32), ("upper_slot", np.int32),
+            ("levels", np.int32), ("labels", np.uint64), ("deleted", np.uint8),
+        ):
+            a, pp = ptr(arrs[name], dt)
+            keep.append(a)
+            ptrs.append(pp)
+        rc = lib.ldb_index_import(ix._h, n, n_upper, entry, max_level, *ptrs)
+        if rc != 0:
+            raise ValueError(lib.ldb_index_error(ix._h).decode())
+        return ix
+    elif engine == "python":
+        from lantern_tpu.graph.host_build import HostHnsw
+
+        ix = HostHnsw(params, capacity=max(cap, 8), seed=0)
+        ix._reserve(n)
+        ix._reserve_upper(n_upper)
+        ix.vectors[:n] = arrs["vectors"]
+        ix.neighbors0[:n] = arrs["neighbors0"]
+        ix.counts0[:n] = arrs["counts0"]
+        ix.upper_neighbors[:n_upper] = arrs["upper_neighbors"]
+        ix.upper_counts[:n_upper] = arrs["upper_counts"]
+        ix.upper_slot[:n] = arrs["upper_slot"]
+        ix.levels[:n] = arrs["levels"]
+        ix.labels[:n] = arrs["labels"]
+        ix.deleted[:n] = arrs["deleted"].astype(bool)
+        ix.n = n
+        ix.n_upper = n_upper
+        ix.entry = entry
+        ix.max_level = max_level
+        return ix
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+class InsertLog:
+    """Append-only insert log with CRC-framed records (WAL-append analog).
+
+    Records survive process crashes; a torn tail record is detected by CRC
+    and truncated on replay — the insert either fully happened or didn't,
+    which is the reference's GenericXLog atomicity for ldb_aminsert.
+    """
+
+    def __init__(self, path: str, width: int, dtype=np.float32):
+        self.path = path
+        self.width = width
+        self.dtype = np.dtype(dtype)
+        self._payload = self.width * self.dtype.itemsize
+        new = not os.path.exists(path)
+        self._f = open(path, "ab")
+        if new:
+            self._f.write(struct.pack("<II", _LOG_MAGIC, HEADER_VERSION))
+            self._f.flush()
+
+    def append(self, vecs: np.ndarray, labels: np.ndarray):
+        vecs = np.ascontiguousarray(vecs, self.dtype)
+        labels = np.asarray(labels, np.uint64)
+        for v, lab in zip(vecs, labels):
+            raw = v.tobytes()
+            self._f.write(struct.pack(_LOG_REC_HDR, int(lab), len(raw), zlib.crc32(raw)))
+            self._f.write(raw)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self):
+        self._f.close()
+
+    def truncate(self):
+        """Reset after folding the log into a snapshot."""
+        self._f.close()
+        with open(self.path, "wb") as f:
+            f.write(struct.pack("<II", _LOG_MAGIC, HEADER_VERSION))
+        self._f = open(self.path, "ab")
+
+    @classmethod
+    def replay(cls, path: str, width: int, dtype=np.float32):
+        """Returns (vectors [n, width], labels [n]); tolerates a torn tail."""
+        dtype = np.dtype(dtype)
+        payload = width * dtype.itemsize
+        hdr = struct.calcsize(_LOG_REC_HDR)
+        vecs, labels = [], []
+        with open(path, "rb") as f:
+            magic_ver = f.read(8)
+            if len(magic_ver) < 8 or struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
+                raise ValueError("not an insert log")
+            while True:
+                h = f.read(hdr)
+                if len(h) < hdr:
+                    break  # clean EOF or torn header: stop
+                label, plen, crc = struct.unpack(_LOG_REC_HDR, h)
+                raw = f.read(plen)
+                if len(raw) < plen or zlib.crc32(raw) != crc or plen != payload:
+                    break  # torn/corrupt tail: discard
+                vecs.append(np.frombuffer(raw, dtype))
+                labels.append(label)
+        if not vecs:
+            return np.empty((0, width), dtype), np.empty(0, np.uint64)
+        return np.stack(vecs), np.array(labels, np.uint64)

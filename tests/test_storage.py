@@ -1,0 +1,176 @@
+"""Snapshot / insert-log / validator / Index facade tests.
+
+Reference analogs: WAL crash-recovery tests (scripts/test_wal.py),
+validate_index regression usage, version-mismatch behavior (scan.c:103-105).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams, Metric
+from lantern_tpu.costmodel import estimate_search_cost
+from lantern_tpu.graph.validate import validate
+from lantern_tpu.index import Index
+from lantern_tpu.native import NativeHnsw
+from lantern_tpu.storage import InsertLog, load_snapshot, save_snapshot
+
+
+@pytest.fixture(scope="module")
+def small_engine():
+    rng = np.random.default_rng(50)
+    base = rng.standard_normal((1200, 24)).astype(np.float32)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix = NativeHnsw(p, capacity=1200, seed=7)
+    ix.add(base)
+    return ix, base
+
+
+def test_validate_good_graph(small_engine):
+    ix, _ = small_engine
+    rep = validate(ix, full=True)
+    rep.raise_if_failed()
+    assert rep.n_reachable >= 0.98 * rep.n
+
+
+def test_validate_catches_corruption(small_engine):
+    import copy
+
+    from lantern_tpu.graph.host_build import HostHnsw
+
+    # corrupt a python-engine copy (native arrays are zero-copy views)
+    rng = np.random.default_rng(51)
+    base = rng.standard_normal((300, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    h = HostHnsw(p, seed=1)
+    h.add(base)
+    bad = copy.deepcopy(h)
+    bad.neighbors0[5, 0] = 299999  # out of range
+    assert not validate(bad).ok
+    bad2 = copy.deepcopy(h)
+    bad2.counts0[3] = 99
+    assert not validate(bad2).ok
+    bad3 = copy.deepcopy(h)
+    bad3.neighbors0[7, 0] = 7  # self loop
+    assert not validate(bad3, full=False).ok
+
+
+def test_snapshot_roundtrip(small_engine, tmp_path):
+    ix, base = small_engine
+    path = str(tmp_path / "ix.ldb")
+    save_snapshot(ix, path)
+    for engine in ("native", "python"):
+        ix2 = load_snapshot(path, engine=engine)
+        assert ix2.n == ix.n
+        assert ix2.entry == ix.entry and ix2.max_level == ix.max_level
+        np.testing.assert_array_equal(
+            np.asarray(ix2.neighbors0[: ix.n]), np.asarray(ix.neighbors0[: ix.n])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ix2.vectors[: ix.n]), np.asarray(ix.vectors[: ix.n])
+        )
+        # identical search results
+        q = base[3]
+        ids1, d1 = ix.search(q, k=5, ef=32)
+        ids2, d2 = ix2.search(q, k=5, ef=32)
+        np.testing.assert_array_equal(ids1, ids2)
+        validate(ix2).raise_if_failed()
+
+
+def test_snapshot_version_check(small_engine, tmp_path):
+    ix, _ = small_engine
+    path = str(tmp_path / "bad.ldb")
+    save_snapshot(ix, path)
+    raw = bytearray(open(path, "rb").read())
+    raw[4:8] = struct.pack("<I", 999)  # bump version field
+    open(path, "wb").write(raw)
+    with pytest.raises(ValueError, match="rebuild"):
+        load_snapshot(path)
+    raw[0:4] = struct.pack("<I", 0xDEADBEEF)
+    open(path, "wb").write(raw)
+    with pytest.raises(ValueError, match="magic"):
+        load_snapshot(path)
+
+
+def test_snapshot_crc_detects_corruption(small_engine, tmp_path):
+    ix, _ = small_engine
+    path = str(tmp_path / "corrupt.ldb")
+    save_snapshot(ix, path)
+    raw = bytearray(open(path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # flip a byte mid-arrays
+    open(path, "wb").write(raw)
+    with pytest.raises(ValueError):
+        load_snapshot(path)
+
+
+def test_insert_log_roundtrip_and_torn_tail(tmp_path):
+    path = str(tmp_path / "wal.log")
+    log = InsertLog(path, width=4)
+    vecs = np.arange(12, dtype=np.float32).reshape(3, 4)
+    log.append(vecs, np.array([10, 11, 12], np.uint64))
+    log.close()
+    v, lab = InsertLog.replay(path, 4)
+    np.testing.assert_array_equal(v, vecs)
+    np.testing.assert_array_equal(lab, [10, 11, 12])
+    # torn tail: append garbage half-record
+    with open(path, "ab") as f:
+        f.write(b"\x01\x02\x03")
+    v, lab = InsertLog.replay(path, 4)
+    assert len(v) == 3  # tail discarded, prefix intact
+    # corrupt the last record's payload: crc must reject it
+    raw = bytearray(open(path, "rb").read())
+    raw[-5] ^= 0xFF
+    open(path, "wb").write(raw)
+    v, lab = InsertLog.replay(path, 4)
+    assert len(v) == 2
+
+
+def test_index_facade_end_to_end(tmp_path):
+    rng = np.random.default_rng(52)
+    base = rng.standard_normal((600, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=64)
+    ix.add(base[:500], labels=np.arange(500, dtype=np.uint64) + 1000)
+    assert ix.size == 500  # capacity auto-grew 64 -> 512+
+    d, labels = ix.search(base[:4], k=3, ef=32)
+    assert labels[0, 0] == 1000 and d[0, 0] < 1e-3
+    # delete + re-query
+    assert ix.delete(np.array([1000], np.uint64)) == 1
+    d, labels = ix.search(base[:1], k=3, ef=32)
+    assert 1000 not in labels[0]
+    # save / load round trip
+    path = str(tmp_path / "facade.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    assert ix2.size == 500 and ix2.num_deleted == 1
+    d2, labels2 = ix2.search(base[:4], k=3, ef=32)
+    np.testing.assert_array_equal(labels[0], labels2[0])
+    ix2.validate().raise_if_failed()
+
+
+def test_index_crash_resume_via_log(tmp_path):
+    """Snapshot + insert-log replay == WAL crash recovery (test_wal.py analog)."""
+    rng = np.random.default_rng(53)
+    base = rng.standard_normal((300, 8)).astype(np.float32)
+    snap = str(tmp_path / "ix.ldb")
+    wal = str(tmp_path / "ix.log")
+    ix = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=512,
+               log_path=wal)
+    ix.add(base[:200])
+    ix.save(snap)  # truncates log
+    ix.add(base[200:])  # these live only in the log
+    del ix  # "crash": no save
+    ix2 = Index.load(snap, log_path=wal, extra_capacity=256)
+    assert ix2.size == 300
+    d, labels = ix2.search(base[250:251], k=1, ef=16)
+    assert labels[0, 0] == 250 and d[0, 0] < 1e-3
+    ix2.validate().raise_if_failed()
+
+
+def test_cost_model_sanity():
+    c = estimate_search_cost(n=1_000_000, dim=128, m=16, ef=64, batch=256)
+    assert 3 < c.expected_levels < 8
+    assert c.expected_visited > 64
+    assert c.hbm_bytes_per_batch > 0 and c.flops_per_batch > 0
+    assert "visited" in c.summary
