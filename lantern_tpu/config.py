@@ -124,6 +124,10 @@ class HnswParams:
             QuantKind.B1,
         ):
             raise ValueError("hamming metric requires b1 (or raw f32 bit) storage")
+        if self.quant == QuantKind.B1 and self.metric != Metric.HAMMING:
+            # l2sq over 1-bit values IS hamming ((0-1)^2 = 1); make the user
+            # say so explicitly rather than silently switching semantics
+            raise ValueError("quant=B1 requires metric=HAMMING")
 
     @property
     def effective_num_subvectors(self) -> int:

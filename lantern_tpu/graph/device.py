@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lantern_tpu.config import Metric
+from lantern_tpu.config import Metric, QuantKind
+
+# DeviceGraph.quant sentinel for product quantization (the reference keeps a
+# separate `pq` reloption from scalar quant_bits; same separation here)
+QUANT_PQ = 100
 
 
 @struct.dataclass
@@ -43,10 +47,14 @@ class DeviceGraph:
     entry: jax.Array            # [] int32
     max_level: jax.Array        # [] int32
     num_nodes: jax.Array        # [] int32
+    # quantization payloads (None when unused)
+    vec_scales: jax.Array | None = None   # [cap] f32 per-vector i8 scales
+    pq_codebook: jax.Array | None = None  # [S, K, dsub] f32
     # static (hashable) metadata — changing these retriggers jit
     m: int = struct.field(pytree_node=False, default=16)
     dim: int = struct.field(pytree_node=False, default=0)
     metric: int = struct.field(pytree_node=False, default=int(Metric.L2SQ))
+    quant: int = struct.field(pytree_node=False, default=0)  # QuantKind / QUANT_PQ
 
     @property
     def cap(self) -> int:
@@ -80,18 +88,43 @@ def join_labels(pairs: np.ndarray) -> np.ndarray:
     return p[..., 0].astype(np.uint64) | (p[..., 1].astype(np.uint64) << np.uint64(32))
 
 
-def to_device(host, dtype=None) -> DeviceGraph:
-    """Copy a HostHnsw (or snapshot arrays) into a DeviceGraph.
+def to_device(host, dtype=None, quant: QuantKind | int | None = None,
+              pq_codebook=None) -> DeviceGraph:
+    """Copy a HostHnsw/NativeHnsw into a DeviceGraph.
 
-    ``dtype`` optionally converts float vector storage (e.g. jnp.bfloat16).
+    - ``dtype``: cast float vector storage (e.g. jnp.bfloat16 / jnp.float16).
+    - ``quant=QuantKind.I8``: store int8 codes + per-vector scales (host
+      vectors are assumed already dequantized i8 values, so re-encoding is
+      exact).
+    - ``pq_codebook`` (PQCodebook): store uint8 PQ codes only — the HBM
+      footprint drops from n*dim*4 to n*S bytes; distances run through ADC
+      LUTs in the search kernel.
     """
     metric = Metric(host.metric)
     n = host.n
     vectors = host.vectors[:n]
     sqn = _sq_norms_np(vectors, metric)
-    vec_dev = jnp.asarray(vectors)
-    if dtype is not None and metric != Metric.HAMMING:
-        vec_dev = vec_dev.astype(dtype)
+    vec_scales = None
+    pq_cb = None
+    eff_quant = int(quant) if quant is not None else int(QuantKind.F32)
+    if pq_codebook is not None:
+        from lantern_tpu.quant.pq import pq_encode
+
+        eff_quant = QUANT_PQ
+        codes = pq_encode(vectors, pq_codebook)  # [n, S] uint8
+        vec_dev = jnp.asarray(codes)
+        pq_cb = jnp.asarray(pq_codebook.centroids)
+    elif eff_quant == int(QuantKind.I8):
+        from lantern_tpu.quant.scalar import quantize_i8
+
+        codes, scales = quantize_i8(jnp.asarray(vectors))
+        vec_dev = codes
+        vec_scales = scales
+    else:
+        vec_dev = jnp.asarray(vectors)
+        if dtype is not None and metric != Metric.HAMMING:
+            vec_dev = vec_dev.astype(dtype)
+            eff_quant = int(QuantKind.F16) if dtype in (jnp.float16, jnp.bfloat16) else eff_quant
     nbr0 = np.concatenate(
         [host.neighbors0[:n], np.full((1, host.p.m0), -1, np.int32)], axis=0
     )
@@ -107,7 +140,10 @@ def to_device(host, dtype=None) -> DeviceGraph:
         entry=jnp.asarray(host.entry, jnp.int32),
         max_level=jnp.asarray(host.max_level, jnp.int32),
         num_nodes=jnp.asarray(n, jnp.int32),
+        vec_scales=vec_scales,
+        pq_codebook=pq_cb,
         m=host.p.m,
         dim=host.p.dim,
         metric=int(metric),
+        quant=eff_quant,
     )

@@ -39,13 +39,27 @@ LMAX = 16  # must match host_build.LMAX
 _INF = jnp.inf
 
 
-def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids):
+def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
     """Distances from each query to its candidate ids.
 
     queries [Q, w], cand_ids [Q, C] (pre-clipped to valid range) -> [Q, C] f32.
+    ``lut`` is the precomputed ADC table [Q, S, K] when the graph stores PQ
+    codes (graph.quant == QUANT_PQ).
     """
+    from lantern_tpu.graph.device import QUANT_PQ
+
     metric = Metric(graph.metric)
-    vecs = graph.vectors[cand_ids]  # [Q, C, w] gather
+    vecs = graph.vectors[cand_ids]  # [Q, C, w] gather (w = S bytes for PQ)
+    if graph.quant == QUANT_PQ:
+        from lantern_tpu.quant.pq import adc_distances
+
+        part = adc_distances(lut, vecs.astype(jnp.int32))
+        if metric == Metric.L2SQ:
+            return part  # LUT already encodes ||q_s - c_sk||^2
+        # cosine: part = sum of dots; combine with decoded-vector norms
+        qn = jnp.sqrt(q_sq)[:, None]
+        xn = jnp.sqrt(graph.sq_norms[cand_ids])
+        return 1.0 - part / jnp.maximum(qn * xn, 1e-30)
     if metric == Metric.HAMMING:
         x = jnp.bitwise_xor(queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32))
         return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
@@ -55,6 +69,8 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids):
         vecs.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if graph.vec_scales is not None:  # i8 codes: fold the per-vector scale
+        dots = dots * graph.vec_scales[cand_ids]
     if metric == Metric.L2SQ:
         return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
     # cosine
@@ -63,7 +79,7 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids):
     return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
 
 
-def _upper_descent(graph: DeviceGraph, queries, q_sq):
+def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
     """Greedy 1-beam descent from the entry point down to level 1.
 
     Returns the per-query entry node for the level-0 beam search.
@@ -75,7 +91,7 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq):
     cap = graph.cap
 
     curr = jnp.full((q,), graph.entry, jnp.int32)
-    curr_d = _candidate_dists(graph, queries, q_sq, curr[:, None])[:, 0]
+    curr_d = _candidate_dists(graph, queries, q_sq, curr[:, None], lut)[:, 0]
 
     def level_cond(state):
         lvl, _, _ = state
@@ -95,7 +111,7 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq):
             nbrs = flat_upper[rows]  # [Q, m]
             valid = nbrs >= 0
             ids = jnp.where(valid, nbrs, 0)
-            d = _candidate_dists(graph, queries, q_sq, ids)
+            d = _candidate_dists(graph, queries, q_sq, ids, lut)
             d = jnp.where(valid, d, _INF)
             j = jnp.argmin(d, axis=1)
             best_d = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
@@ -165,7 +181,13 @@ def search_batched(
         qf = queries.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=1)
 
-    entry_ids, entry_d = _upper_descent(graph, queries, q_sq)
+    lut = None
+    from lantern_tpu.graph.device import QUANT_PQ
+    if graph.quant == QUANT_PQ:
+        from lantern_tpu.quant.pq import adc_lut
+        lut = adc_lut(queries, graph.pq_codebook, metric)
+
+    entry_ids, entry_d = _upper_descent(graph, queries, q_sq, lut)
 
     # ---- level-0 beam state ----
     beam_d = jnp.full((q, ef), _INF).at[:, 0].set(entry_d)
@@ -211,7 +233,7 @@ def search_batched(
             fresh = _dedup_fresh(nbrs, fresh)
         visited = visited.at[rowq, jnp.where(fresh, nbrs_c, cap)].set(True)
 
-        d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0))
+        d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)
 
         # merge candidates into beam via top-k over the concatenation

@@ -47,14 +47,59 @@ class Index:
         else:
             raise ValueError(f"unknown engine {engine!r}")
         self._graph = None  # cached device mirror
+        self._codebook = None  # PQCodebook when params.pq
         self._log = None
         if log_path:
             self._log = InsertLog(log_path, self._eng.vectors.shape[1],
                                   self._eng.vectors.dtype)
 
+    # ---- PQ (create_pq_codebook / quantize_table analog) ----
+    def train_pq(self, training_data: np.ndarray, iters: int = 25, seed: int = 0):
+        """Train the PQ codebook (required before add when params.pq)."""
+        if not self.params.pq:
+            raise ValueError("index was not created with pq=True")
+        from lantern_tpu.quant.pq import train_codebook
+
+        self._codebook = train_codebook(
+            np.asarray(training_data, np.float32),
+            num_subvectors=self.params.effective_num_subvectors,
+            num_centroids=self.params.num_centroids,
+            iters=iters,
+            seed=seed,
+        )
+        return self._codebook
+
+    def _preprocess(self, vectors: np.ndarray) -> np.ndarray:
+        """Apply storage quantization before graph construction, so the host
+        graph is built over the same representation the device searches
+        (the reference quantizes inside usearch at insert time)."""
+        from lantern_tpu.config import QuantKind
+
+        vectors = np.asarray(vectors)
+        if self.params.pq:
+            if self._codebook is None:
+                # auto-train on the first batch (reference requires an explicit
+                # create_pq_codebook first; auto-training is a convenience)
+                self.train_pq(vectors)
+            from lantern_tpu.quant.pq import pq_decode, pq_encode
+
+            return pq_decode(pq_encode(vectors, self._codebook), self._codebook)
+        if self.params.quant == QuantKind.I8:
+            from lantern_tpu.quant.scalar import dequantize_i8, quantize_i8
+
+            codes, scales = quantize_i8(np.asarray(vectors, np.float32))
+            return np.asarray(dequantize_i8(codes, scales))
+        if self.params.quant == QuantKind.B1:
+            from lantern_tpu.quant.scalar import binarize
+
+            if vectors.dtype == np.uint32:
+                return vectors  # already packed
+            return np.asarray(binarize(np.asarray(vectors, np.float32)))
+        return vectors
+
     # ---- ingest ----
     def add(self, vectors: np.ndarray, labels: np.ndarray | None = None, **kw):
-        vectors = np.asarray(vectors)
+        vectors = self._preprocess(vectors)
         if labels is None:
             labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
         if self._engine_kind == "native":
@@ -77,7 +122,8 @@ class Index:
         with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
             path = tf.name
         try:
-            save_snapshot(self._eng, path)
+            cb = self._codebook.centroids if self._codebook is not None else None
+            save_snapshot(self._eng, path, pq_codebook=cb)
             new_cap = max(8, self._eng._cap)
             while new_cap < need:
                 new_cap *= 2
@@ -98,7 +144,18 @@ class Index:
     @property
     def device_graph(self):
         if self._graph is None:
-            self._graph = to_device(self._eng)
+            from lantern_tpu.config import QuantKind
+
+            if self.params.pq:
+                self._graph = to_device(self._eng, pq_codebook=self._codebook)
+            elif self.params.quant == QuantKind.I8:
+                self._graph = to_device(self._eng, quant=QuantKind.I8)
+            elif self.params.quant == QuantKind.F16:
+                import jax.numpy as jnp
+
+                self._graph = to_device(self._eng, dtype=jnp.bfloat16)
+            else:
+                self._graph = to_device(self._eng)
         return self._graph
 
     def search(
@@ -117,7 +174,14 @@ class Index:
         ef = ef or self.params.ef
         import jax.numpy as jnp
 
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries)))
+        from lantern_tpu.config import QuantKind
+
+        queries = np.atleast_2d(np.asarray(queries))
+        if self.params.quant == QuantKind.B1 and queries.dtype != np.uint32:
+            from lantern_tpu.quant.scalar import binarize
+
+            queries = np.asarray(binarize(np.asarray(queries, np.float32)))
+        q = jnp.asarray(queries)
         d, ids, labels = search_batched(self.device_graph, q, k=k, ef=max(ef, k))
         return np.asarray(d), join_labels(np.asarray(labels))
 
@@ -140,19 +204,26 @@ class Index:
 
     # ---- persistence ----
     def save(self, path: str):
-        save_snapshot(self._eng, path)
+        cb = self._codebook.centroids if self._codebook is not None else None
+        save_snapshot(self._eng, path, pq_codebook=cb)
         if self._log is not None:
             self._log.truncate()
 
     @classmethod
     def load(cls, path: str, engine: str = "native", extra_capacity: int = 1024,
              log_path: str | None = None) -> "Index":
-        eng = load_snapshot(path, engine=engine, extra_capacity=extra_capacity)
+        eng, cb = load_snapshot(path, engine=engine, extra_capacity=extra_capacity,
+                                return_codebook=True)
         ix = cls.__new__(cls)
         ix.params = eng.p
         ix._engine_kind = engine
         ix._eng = eng
         ix._graph = None
+        ix._codebook = None
+        if cb is not None:
+            from lantern_tpu.quant.pq import PQCodebook
+
+            ix._codebook = PQCodebook(centroids=cb)
         ix._log = None
         if log_path:
             import os

@@ -1,0 +1,157 @@
+"""Product quantization: codebook k-means training + encode/decode + ADC LUTs.
+
+Reference parity:
+- codebook training = per-subvector k-means (in-DB C version
+  product_quantization.c:40-193: random init, assign, mean update, conv
+  threshold 0.1, <=200 iters; out-of-DB Rust version codebook.rs:41-278:
+  rayon per-subvector, tol 1e-1, <=20 iters, sharded BY SUBVECTOR on GCP).
+  Here: one jitted Lloyd iteration vmapped over subspaces — the vmap IS the
+  reference's per-subvector parallelism, on MXU instead of rayon threads.
+- codebook shape [num_subvectors, num_centroids, dsub] — the reference's
+  `real[][][]` SQL table `_lantern_internal.pq_<table>_<col>` (pqtable.c).
+- search uses asymmetric distance: per-query LUT [S, K] of partial
+  distances, candidate distance = sum over subspaces of LUT[s, code].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lantern_tpu.config import Metric
+
+
+@dataclasses.dataclass(frozen=True)
+class PQCodebook:
+    """Trained codebook: centroids [S, K, dsub] float32."""
+
+    centroids: np.ndarray
+
+    @property
+    def num_subvectors(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def num_centroids(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.num_subvectors * self.dsub
+
+
+def _kmeans_one_subspace(x, init, iters):
+    """Lloyd iterations for one subspace. x [n, d], init [k, d] -> [k, d]."""
+    n = x.shape[0]
+    k = init.shape[0]
+    x_sq = jnp.sum(x * x, axis=1)
+
+    def step(cent, _):
+        # assign: argmin ||x - c||^2 = argmin -2 x.c + |c|^2
+        dots = jnp.dot(x, cent.T, preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(cent * cent, axis=1)
+        assign = jnp.argmin(c_sq[None, :] - 2.0 * dots, axis=1)  # [n]
+        oh = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [n, k]
+        counts = jnp.sum(oh, axis=0)  # [k]
+        sums = jnp.dot(oh.T, x, preferred_element_type=jnp.float32)  # [k, d]
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        # empty clusters keep their previous centroid (reference keeps random
+        # init point; equivalent stability-wise)
+        new = jnp.where((counts > 0)[:, None], new, cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, init, None, length=iters)
+    del n, x_sq
+    return cent
+
+
+@functools.partial(jax.jit, static_argnames=("num_subvectors", "num_centroids", "iters"))
+def _train_jit(data, seed, num_subvectors, num_centroids, iters):
+    n, dim = data.shape
+    dsub = dim // num_subvectors
+    xs = data.reshape(n, num_subvectors, dsub).transpose(1, 0, 2)  # [S, n, dsub]
+    key = jax.random.PRNGKey(seed)
+    # random-sample init (product_quantization.c:51-70)
+    idx = jax.random.choice(key, n, shape=(num_centroids,), replace=n < num_centroids)
+    init = xs[:, idx, :]  # [S, k, dsub]
+    return jax.vmap(_kmeans_one_subspace, in_axes=(0, 0, None))(xs, init, iters)
+
+
+def train_codebook(
+    data: np.ndarray,
+    num_subvectors: int,
+    num_centroids: int = 256,
+    iters: int = 25,
+    seed: int = 0,
+) -> PQCodebook:
+    """Train a PQ codebook with per-subspace k-means (vmapped on device)."""
+    data = np.asarray(data, np.float32)
+    n, dim = data.shape
+    if dim % num_subvectors:
+        raise ValueError(f"dim {dim} not divisible by num_subvectors {num_subvectors}")
+    if num_centroids > 256:
+        raise ValueError("codes are uint8; num_centroids must be <= 256")
+    cent = _train_jit(jnp.asarray(data), seed, num_subvectors, num_centroids, iters)
+    return PQCodebook(centroids=np.asarray(cent))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode_jit(data, centroids):
+    n, dim = data.shape
+    s, k, dsub = centroids.shape
+    xs = data.reshape(n, s, dsub)
+    c_sq = jnp.sum(centroids * centroids, axis=2)  # [S, K]
+    dots = jnp.einsum("nsd,skd->nsk", xs, centroids, preferred_element_type=jnp.float32)
+    return jnp.argmin(c_sq[None, :, :] - 2.0 * dots, axis=2).astype(jnp.uint8)
+
+
+def pq_encode(data, codebook: PQCodebook) -> np.ndarray:
+    """Vectors [n, dim] -> codes [n, S] uint8 (the pqvec payload)."""
+    return np.asarray(_encode_jit(jnp.asarray(data, jnp.float32),
+                                  jnp.asarray(codebook.centroids)))
+
+
+def pq_decode(codes, codebook: PQCodebook) -> np.ndarray:
+    """Codes [n, S] -> reconstructed vectors [n, dim] (dequantize_vector)."""
+    codes = np.asarray(codes)
+    cent = codebook.centroids  # [S, K, dsub]
+    n, s = codes.shape
+    out = cent[np.arange(s)[None, :], codes]  # [n, S, dsub]
+    return out.reshape(n, s * cent.shape[2]).astype(np.float32)
+
+
+def adc_lut(queries: jax.Array, centroids: jax.Array, metric: Metric) -> jax.Array:
+    """Per-query ADC lookup tables.
+
+    queries [Q, dim], centroids [S, K, dsub] ->
+      l2sq: LUT[q,s,k] = ||q_s - c_sk||^2     (sum over s = full distance)
+      cos:  LUT[q,s,k] = q_s · c_sk           (dot; combine with norms)
+    """
+    qn, dim = queries.shape
+    s, k, dsub = centroids.shape
+    qs = queries.astype(jnp.float32).reshape(qn, s, dsub)
+    dots = jnp.einsum("qsd,skd->qsk", qs, centroids, preferred_element_type=jnp.float32)
+    if metric == Metric.COS:
+        return dots
+    c_sq = jnp.sum(centroids * centroids, axis=2)  # [S, K]
+    q_sq = jnp.sum(qs * qs, axis=2)  # [Q, S]
+    return q_sq[:, :, None] - 2.0 * dots + c_sq[None, :, :]
+
+
+def adc_distances(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Sum LUT entries for candidate codes.
+
+    lut [Q, S, K], codes [Q, C, S] -> partial-distance sums [Q, C] f32.
+    """
+    q, s, k = lut.shape
+    qi = jnp.arange(q)[:, None, None]
+    si = jnp.arange(s)[None, None, :]
+    return jnp.sum(lut[qi, si, codes], axis=-1)

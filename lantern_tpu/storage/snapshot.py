@@ -112,11 +112,18 @@ _ARRAYS = (
 )
 
 
-def save_snapshot(engine, path: str):
-    """Persist a Host/Native HNSW engine. Atomic via rename."""
+def save_snapshot(engine, path: str, pq_codebook=None):
+    """Persist a Host/Native HNSW engine. Atomic via rename.
+
+    ``pq_codebook``: centroid array [S, K, dsub] persisted with the index
+    when params.pq (the reference persists its codebook as a read-only SQL
+    table guarded by a trigger, lantern.sql:244-250).
+    """
     n = engine.n
     n_upper = max(engine.n_upper, 1)
     width = engine.vectors.shape[1]
+    if engine.p.pq and pq_codebook is None:
+        raise ValueError("pq index snapshot requires its codebook")
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(_pack_header(engine.p, n, n_upper, engine.entry, engine.max_level, width))
@@ -129,14 +136,24 @@ def save_snapshot(engine, path: str):
         _write_arr(f, engine.levels[:n])
         _write_arr(f, engine.labels[:n])
         _write_arr(f, engine.deleted[:n].astype(np.uint8))
+        if engine.p.pq:
+            _write_arr(f, np.asarray(pq_codebook, np.float32))
     os.replace(tmp, path)
 
 
-def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0):
-    """Load a snapshot into a fresh engine (native C++ or python)."""
+def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0,
+                  return_codebook: bool = False):
+    """Load a snapshot into a fresh engine (native C++ or python).
+
+    With ``return_codebook=True`` returns (engine, codebook-or-None).
+    """
     with open(path, "rb") as f:
         params, width, n, n_upper, entry, max_level = _unpack_header(f.read(_HDR_SIZE))
         arrs = {name: _read_arr(f) for name in _ARRAYS}
+        codebook = _read_arr(f) if params.pq else None
+
+    def _ret(ix):
+        return (ix, codebook) if return_codebook else ix
 
     cap = n + max(extra_capacity, 0)
     if engine == "native":
@@ -165,7 +182,7 @@ def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0):
         rc = lib.ldb_index_import(ix._h, n, n_upper, entry, max_level, *ptrs)
         if rc != 0:
             raise ValueError(lib.ldb_index_error(ix._h).decode())
-        return ix
+        return _ret(ix)
     elif engine == "python":
         from lantern_tpu.graph.host_build import HostHnsw
 
@@ -185,7 +202,7 @@ def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0):
         ix.n_upper = n_upper
         ix.entry = entry
         ix.max_level = max_level
-        return ix
+        return _ret(ix)
     raise ValueError(f"unknown engine {engine!r}")
 
 

@@ -1,0 +1,149 @@
+"""Quantization tests: scalar (f16/i8/b1) + PQ codebook/ADC.
+
+Reference analogs: test/sql/hnsw_sq.sql (scalar), hnsw_pq.sql (PQ end-to-end),
+product_quantization.c k-means, quantize_vector/dequantize_vector SQL fns.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams, Metric, QuantKind
+from lantern_tpu.index import Index
+from lantern_tpu.ops import exact_search
+from lantern_tpu.quant import (
+    PQCodebook,
+    dequantize_i8,
+    pq_decode,
+    pq_encode,
+    quantize_i8,
+    train_codebook,
+)
+from lantern_tpu.quant.pq import adc_distances, adc_lut
+
+
+def _recall_labels(found_labels, true_ids):
+    hits = 0
+    for f, t in zip(found_labels, true_ids):
+        hits += len(set(int(x) for x in f) & set(int(x) for x in t))
+    return hits / true_ids.size
+
+
+def test_i8_roundtrip(rng):
+    x = rng.standard_normal((50, 32)).astype(np.float32) * 3
+    codes, scales = quantize_i8(jnp.array(x))
+    assert np.asarray(codes).dtype == np.int8
+    back = np.asarray(dequantize_i8(codes, scales))
+    # max error bounded by scale/2 per component
+    err = np.abs(back - x)
+    bound = np.asarray(scales)[:, None] * 0.5 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_pq_train_encode_decode(rng):
+    # clustered data so k-means has real structure
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 5
+    x = np.repeat(centers, 50, axis=0) + rng.standard_normal((400, 32)).astype(np.float32) * 0.1
+    cb = train_codebook(x, num_subvectors=8, num_centroids=16, iters=20, seed=0)
+    assert cb.centroids.shape == (8, 16, 4)
+    codes = pq_encode(x, cb)
+    assert codes.shape == (400, 8) and codes.dtype == np.uint8
+    recon = pq_decode(codes, cb)
+    mse = float(np.mean((recon - x) ** 2))
+    var = float(np.var(x))
+    assert mse < 0.05 * var, f"pq mse {mse} vs var {var}"
+
+
+def test_adc_matches_decoded_l2(rng):
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    cb = train_codebook(x, num_subvectors=4, num_centroids=32, iters=15, seed=1)
+    codes = pq_encode(x, cb)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    lut = adc_lut(jnp.array(q), jnp.array(cb.centroids), Metric.L2SQ)
+    d_adc = np.asarray(adc_distances(lut, jnp.array(codes)[None].repeat(5, 0).astype(jnp.int32)))
+    recon = pq_decode(codes, cb)
+    d_exact = ((q[:, None, :] - recon[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_adc, d_exact, rtol=1e-3, atol=1e-3)
+
+
+def test_index_i8_end_to_end(rng):
+    base = rng.standard_normal((800, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48, quant=QuantKind.I8)
+    ix = Index(p, capacity=800)
+    ix.add(base)
+    g = ix.device_graph
+    assert g.vectors.dtype == jnp.int8 and g.vec_scales is not None
+    d, labels = ix.search(base[:16], k=10, ef=64)
+    _, true_ids = exact_search(jnp.array(base[:16]), jnp.array(base), k=10)
+    rec = _recall_labels(labels, np.asarray(true_ids))
+    assert rec >= 0.85, f"i8 recall {rec}"
+    assert labels[0, 0] == 0  # self-match survives quantization
+
+
+def test_index_f16_end_to_end(rng):
+    base = rng.standard_normal((600, 24)).astype(np.float32)
+    p = HnswParams(dim=24, m=8, ef_construction=48, quant=QuantKind.F16)
+    ix = Index(p, capacity=600)
+    ix.add(base)
+    assert ix.device_graph.vectors.dtype == jnp.bfloat16
+    d, labels = ix.search(base[:8], k=10, ef=64)
+    _, true_ids = exact_search(jnp.array(base[:8]), jnp.array(base), k=10)
+    assert _recall_labels(labels, np.asarray(true_ids)) >= 0.9
+
+
+def test_index_b1_end_to_end(rng):
+    base = rng.standard_normal((500, 64)).astype(np.float32)
+    p = HnswParams(dim=64, m=8, ef_construction=48, metric=Metric.HAMMING,
+                   quant=QuantKind.B1)
+    ix = Index(p, capacity=500)
+    ix.add(base)  # auto-binarized
+    d, labels = ix.search(base[:4], k=5, ef=32)
+    assert d[0, 0] == 0.0  # own sign pattern is distance 0
+    with pytest.raises(ValueError, match="B1"):
+        HnswParams(dim=8, quant=QuantKind.B1)  # b1 without hamming
+
+
+def test_index_pq_end_to_end(rng, tmp_path):
+    # plain gaussian: clustered data would collapse to near-duplicate codes,
+    # which degrades any HNSW (ties break neighborhood diversity) and tests
+    # the pathology rather than the machinery
+    base = rng.standard_normal((1280, 64)).astype(np.float32)
+    p = HnswParams(dim=64, m=8, ef_construction=64, pq=True,
+                   num_centroids=64, num_subvectors=16)
+    ix = Index(p, capacity=1280)
+    ix.train_pq(base[:1000])
+    ix.add(base)
+    g = ix.device_graph
+    assert g.vectors.dtype == jnp.uint8 and g.vectors.shape == (1280, 16)
+    assert g.pq_codebook is not None
+    d, labels = ix.search(base[:16], k=10, ef=64)
+    # the right oracle for the graph-search component: exact scan over the
+    # DECODED representation the index stores (quantization loss is the
+    # codebook's property, measured separately in test_pq_train_encode_decode)
+    decoded = pq_decode(pq_encode(base, ix._codebook), ix._codebook)
+    _, true_dec = exact_search(jnp.array(base[:16]), jnp.array(decoded), k=10)
+    rec = _recall_labels(labels, np.asarray(true_dec))
+    assert rec >= 0.8, f"pq graph recall vs decoded-exact {rec}"
+    # and a loose sanity floor vs full-precision ground truth
+    _, true_ids = exact_search(jnp.array(base[:16]), jnp.array(base), k=10)
+    assert _recall_labels(labels, np.asarray(true_ids)) >= 0.2
+    # codebook persists through snapshots
+    path = str(tmp_path / "pq.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    assert ix2._codebook is not None
+    d2, labels2 = ix2.search(base[:16], k=10, ef=64)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_pq_cos_metric(rng):
+    base = rng.standard_normal((600, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48, metric=Metric.COS,
+                   pq=True, num_centroids=32, num_subvectors=8)
+    ix = Index(p, capacity=600)
+    ix.add(base)
+    d, labels = ix.search(base[:8], k=10, ef=64)
+    _, true_ids = exact_search(jnp.array(base[:8]), jnp.array(base), k=10,
+                               metric=Metric.COS)
+    assert _recall_labels(labels, np.asarray(true_ids)) >= 0.5
+    assert (np.asarray(d)[:, 0] < 0.2).all()  # self-ish matches
