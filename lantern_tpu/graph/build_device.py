@@ -1,0 +1,491 @@
+"""Batched HNSW construction on device — the TPU-native index builder.
+
+Replaces the reference's construction paths — the single-threaded in-process
+build (build.c BuildCallback → usearch_add per tuple) and the multicore
+external indexing server (server.rs:311-375, N threads × add_raw with
+per-node locks) — with data-parallel insert ROUNDS:
+
+round(batch B of new nodes):
+  1. candidate search: one batched ef_construction search of the current
+     graph (the same frontier-expansion kernel queries use);
+  2. within-batch candidates: exact pairwise distances among the batch, so
+     batch members can link to each other (what sequential insertion gets
+     for free);
+  3. neighbor selection: the classic HNSW diversity heuristic ("keep c iff
+     closer to the query than to any kept neighbor"), vectorized as a scan
+     over the sorted candidate pool with a [B, C, C] pairwise-distance mask;
+  4. forward edges: one scatter into the new nodes' adjacency rows;
+  5. reverse edges: edges grouped by target via sort + segment ranks (at
+     most ``max_in`` incomers kept per target per round), then a vectorized
+     append-or-prune pass over target lanes (prune = the same heuristic,
+     matching add_link overflow semantics in the sequential engines).
+
+Levels are pre-drawn host-side with the same floor(-ln(U)/ln(M)) law
+(insert.c:32-46); upper-level adjacency selects from candidates filtered by
+level (batch construction's analog of per-level search).
+
+Everything is statically shaped and jitted once; graph arrays are donated so
+each round updates HBM in place. Masked lanes (round padding, absent levels)
+scatter to dedicated dummy rows — row ``cap`` of neighbors0 and upper slot
+``ucap-1`` — so no real row ever sees a conflicting masked write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.struct as struct
+
+from lantern_tpu.config import HnswParams, Metric
+from lantern_tpu.graph.device import DeviceGraph
+from lantern_tpu.graph.host_build import LMAX
+from lantern_tpu.graph.search import search_batched
+
+_INF = jnp.inf
+
+
+@struct.dataclass
+class BuildState:
+    vectors: jax.Array          # [cap, dim] (all vectors preloaded)
+    sq_norms: jax.Array         # [cap]
+    neighbors0: jax.Array       # [cap+1, m0] (row cap = dummy)
+    upper_neighbors: jax.Array  # [ucap, LMAX, m] (slot ucap-1 = dummy)
+    upper_slot: jax.Array       # [cap]
+    levels: jax.Array           # [cap]
+    entry: jax.Array            # []
+    max_level: jax.Array        # []
+    n: jax.Array                # [] nodes inserted so far
+    m: int = struct.field(pytree_node=False, default=16)
+    dim: int = struct.field(pytree_node=False, default=0)
+    metric: int = struct.field(pytree_node=False, default=int(Metric.L2SQ))
+
+
+def _graph_view(st: BuildState) -> DeviceGraph:
+    cap = st.vectors.shape[0]
+    return DeviceGraph(
+        vectors=st.vectors,
+        sq_norms=st.sq_norms,
+        neighbors0=st.neighbors0,
+        upper_neighbors=st.upper_neighbors,
+        upper_slot=st.upper_slot,
+        levels=st.levels,
+        labels=jnp.zeros((cap, 2), jnp.uint32),
+        deleted=jnp.zeros((cap,), bool),
+        entry=st.entry,
+        max_level=st.max_level,
+        num_nodes=st.n,
+        m=st.m,
+        dim=st.dim,
+        metric=st.metric,
+    )
+
+
+def _pair_dists(vecs_a, sq_a, vecs_b, sq_b, metric: Metric):
+    """[B, C, d] x [B, E, d] -> [B, C, E] distances (l2sq/cos)."""
+    dots = jnp.einsum(
+        "bcd,bed->bce",
+        vecs_a.astype(jnp.float32),
+        vecs_b.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Metric.L2SQ:
+        return sq_a[:, :, None] - 2.0 * dots + sq_b[:, None, :]
+    na = jnp.sqrt(sq_a)[:, :, None]
+    nb = jnp.sqrt(sq_b)[:, None, :]
+    return 1.0 - dots / jnp.maximum(na * nb, 1e-30)
+
+
+def select_heuristic_batch(pool_d, pair_d, keep_mask, m):
+    """Vectorized HNSW selection heuristic.
+
+    pool_d  [B, C]   candidate→query distances, ASCENDING order per row
+    pair_d  [B, C, C] candidate↔candidate distances
+    keep_mask [B, C] which candidates are eligible at all
+    Returns selected mask [B, C] with at most m True per row.
+    """
+    b, c = pool_d.shape
+
+    def step(carry, j):
+        selected, count = carry
+        # violation: some already-selected s has pair_d[:, j, s] <= pool_d[:, j]
+        viol = jnp.any(
+            jnp.logical_and(selected, pair_d[:, j, :] <= pool_d[:, j, None]),
+            axis=1,
+        )
+        keep = jnp.logical_and(
+            jnp.logical_and(keep_mask[:, j], count < m), jnp.logical_not(viol)
+        )
+        selected = selected.at[:, j].set(keep)
+        return (selected, count + keep.astype(jnp.int32)), None
+
+    (selected, _), _ = jax.lax.scan(
+        step, (jnp.zeros((b, c), bool), jnp.zeros((b,), jnp.int32)), jnp.arange(c)
+    )
+    return selected
+
+
+def _mask_to_ids(pool_ids, selected, m):
+    """Compact a selection mask to m id slots (-1 padded), preserving order."""
+    b, c = pool_ids.shape
+    key = jnp.where(selected, jax.lax.broadcasted_iota(jnp.int32, (b, c), 1), c + 1)
+    order = jnp.argsort(key, axis=1)[:, :m]
+    picked = jnp.take_along_axis(pool_ids, order, axis=1)
+    valid = jnp.take_along_axis(selected, order, axis=1)
+    return jnp.where(valid, picked, -1)
+
+
+def _scatter_reverse(
+    adjacency,          # [R, deg] adjacency, row dummy_row is scratch
+    row_of_target,      # fn: target id array -> row index array
+    dummy_row: int,
+    targets,            # [E] target node ids (-1 = skip)
+    sources,            # [E] new node ids
+    all_vectors,
+    all_sq,
+    metric: Metric,
+    maxdeg: int,
+    max_in: int,
+    lane_chunk: int = 1024,
+):
+    """Append sources into their targets' adjacency rows, pruning overflow
+    with the selection heuristic. Conflicts: edges sorted by target; the
+    first lane of each target segment performs the combined update; at most
+    ``max_in`` incomers per target per round are kept (closest-first order
+    is not guaranteed — matches the arbitrary arrival order of concurrent
+    inserts in the reference's threaded server)."""
+    e = targets.shape[0]
+    r = adjacency.shape[0]
+    order = jnp.argsort(jnp.where(targets >= 0, targets, jnp.int32(2**30)))
+    t_sorted = targets[order]
+    s_sorted = sources[order]
+    valid = t_sorted >= 0
+    first = jnp.concatenate([jnp.ones((1,), bool), t_sorted[1:] != t_sorted[:-1]])
+    first = jnp.logical_and(first, valid)
+    pos = jnp.arange(e)
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0))
+    rank = pos - seg_start
+
+    # incoming table [R, max_in]; masked writes go to dummy_row
+    t_rows = jnp.where(valid, row_of_target(jnp.maximum(t_sorted, 0)), dummy_row)
+    write_row = jnp.where(jnp.logical_and(valid, rank < max_in), t_rows, dummy_row)
+    inc = jnp.full((r, max_in), -1, jnp.int32)
+    inc = inc.at[write_row, jnp.minimum(rank, max_in - 1)].set(
+        jnp.where(rank < max_in, s_sorted, -1)
+    )
+
+    # lane pass: one lane per first-occurrence target, chunked
+    pad = (-e) % lane_chunk
+    lane_t = jnp.concatenate(
+        [jnp.where(first, t_sorted, -1), jnp.full((pad,), -1, jnp.int32)]
+    )
+    nchunks = lane_t.shape[0] // lane_chunk
+    c2 = maxdeg + max_in
+
+    def chunk_body(adj, ci):
+        lt = jax.lax.dynamic_slice_in_dim(lane_t, ci * lane_chunk, lane_chunk)
+        active = lt >= 0
+        lrow = jnp.where(active, row_of_target(jnp.maximum(lt, 0)), dummy_row)
+        old = adj[lrow]                       # [L, maxdeg]
+        incoming = inc[lrow]                  # [L, max_in]
+        cand = jnp.concatenate([old, incoming], axis=1)  # [L, c2]
+        cvalid = jnp.logical_and(cand >= 0, active[:, None])
+        cand_c = jnp.where(cvalid, cand, 0)
+        t_safe = jnp.where(active, lt, 0)
+        tvec = all_vectors[t_safe]
+        tsq = all_sq[t_safe]
+        cvecs = all_vectors[cand_c]           # [L, c2, d]
+        csq = all_sq[cand_c]
+        d_t = _pair_dists(tvec[:, None, :], tsq[:, None], cvecs, csq, metric)[:, 0, :]
+        d_t = jnp.where(cvalid, d_t, _INF)
+        count = jnp.sum(cvalid, axis=1)
+        overflow = count > maxdeg
+        # sort candidates by distance to target
+        sort_i = jnp.argsort(d_t, axis=1)
+        cand_s = jnp.take_along_axis(cand, sort_i, axis=1)
+        valid_s = jnp.take_along_axis(cvalid, sort_i, axis=1)
+        d_s = jnp.take_along_axis(d_t, sort_i, axis=1)
+        cvecs_s = jnp.take_along_axis(cvecs, sort_i[:, :, None], axis=1)
+        csq_s = jnp.take_along_axis(csq, sort_i, axis=1)
+        pair = _pair_dists(cvecs_s, csq_s, cvecs_s, csq_s, metric)
+        sel_mask = select_heuristic_batch(d_s, pair, valid_s, maxdeg)
+        pruned = _mask_to_ids(cand_s, sel_mask, maxdeg)
+        appended = _mask_to_ids(cand_s, valid_s, maxdeg)
+        new_row = jnp.where(overflow[:, None], pruned, appended)
+        write = jnp.where(active, lrow, dummy_row)
+        adj = adj.at[write].set(jnp.where(active[:, None], new_row, adj[dummy_row]))
+        return adj, None
+
+    adjacency, _ = jax.lax.scan(chunk_body, adjacency, jnp.arange(nchunks))
+    return adjacency
+
+
+def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
+                  max_in: int):
+    """Insert a batch of node ids (-1 = padding lane) into the graph.
+
+    ``level_ids``: per-level static id lists (level_ids[l-1] = all node ids
+    with level >= l, -1 padded). Upper-level neighbors are selected from
+    EXACT nearest nodes of that level — the upper layers are geometrically
+    small (N/m^l nodes), so exact beats the reference's search-derived
+    upper candidates at negligible matmul cost.
+    """
+    metric = Metric(st.metric)
+    b = ids.shape[0]
+    m = st.m
+    m0 = 2 * m
+    cap = st.vectors.shape[0]
+    ucap = st.upper_neighbors.shape[0]
+    active = ids >= 0
+    safe_ids = jnp.where(active, ids, 0)
+    qvecs = st.vectors[safe_ids]
+    qsq = st.sq_norms[safe_ids]
+
+    # 1) candidate search of current graph (expand=4: fewer, wider
+    # frontier iterations — same pool quality, ~4x fewer serial steps)
+    d_cand, cand, _ = search_batched(_graph_view(st), qvecs, k=efc, ef=efc, expand=4)
+
+    # 2) within-batch candidates (exact); mask self and padding lanes
+    wb_d_full = _pair_dists(
+        qvecs[None], qsq[None], qvecs[None], qsq[None], metric
+    )[0]  # [B, B]
+    bad = jnp.logical_or(jnp.eye(b, dtype=bool), jnp.logical_not(active)[None, :])
+    wb_d_full = jnp.where(bad, _INF, wb_d_full)
+    wb_k = min(b, m0)
+    neg_wb, wb_j = jax.lax.top_k(-wb_d_full, wb_k)
+    wb_d = -neg_wb
+    wb_ids = jnp.where(jnp.isfinite(wb_d), safe_ids[wb_j], -1)
+
+    # 3) merged pool, sorted ascending, deduped
+    pool_ids = jnp.concatenate([cand, wb_ids], axis=1)
+    pool_d = jnp.concatenate(
+        [jnp.where(cand >= 0, d_cand, _INF), jnp.where(wb_ids >= 0, wb_d, _INF)],
+        axis=1,
+    )
+    order = jnp.argsort(pool_d, axis=1)
+    pool_d = jnp.take_along_axis(pool_d, order, axis=1)
+    pool_ids = jnp.take_along_axis(pool_ids, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), pool_ids[:, 1:] == pool_ids[:, :-1]], axis=1
+    )
+    pool_valid = (pool_ids >= 0) & ~dup & active[:, None]
+    # a node can find itself when it is the pre-seeded entry point
+    pool_valid &= pool_ids != safe_ids[:, None]
+    pool_d = jnp.where(pool_valid, pool_d, _INF)
+
+    pool_c = jnp.where(pool_valid, pool_ids, 0)
+    pvecs = st.vectors[pool_c]  # [B, C, d]
+    psq = st.sq_norms[pool_c]
+    pair = _pair_dists(pvecs, psq, pvecs, psq, metric)  # [B, C, C]
+
+    new_levels = jnp.where(active, st.levels[safe_ids], -1)
+
+    # ---- level 0: select, forward scatter, reverse update ----
+    sel0 = select_heuristic_batch(pool_d, pair, pool_valid, m)
+    fwd0 = _mask_to_ids(pool_ids, sel0, m)  # [B, m]
+    row0 = jnp.concatenate([fwd0, jnp.full((b, m0 - m), -1, jnp.int32)], axis=1)
+    write0 = jnp.where(active, safe_ids, cap)  # row cap = dummy
+    neighbors0 = st.neighbors0.at[write0].set(
+        jnp.where(active[:, None], row0, st.neighbors0[cap])
+    )
+    neighbors0 = _scatter_reverse(
+        neighbors0,
+        lambda t: t,
+        cap,
+        jnp.where(active[:, None], fwd0, -1).reshape(-1),
+        jnp.repeat(safe_ids, m),
+        st.vectors,
+        st.sq_norms,
+        metric,
+        m0,
+        max_in,
+        lane_chunk=4096,
+    )
+
+    # ---- upper levels: exact per-level candidate pools ----
+    flat = st.upper_neighbors.reshape(ucap * LMAX, m)
+    dummy_flat = (ucap - 1) * LMAX  # any row of the dummy slot
+    n0 = st.n  # nodes inserted before this round
+    for lvl in range(1, len(level_ids) + 1):
+        node_has = new_levels >= lvl
+        lids = level_ids[lvl - 1]  # [Ll] -1 padded
+        lvecs = st.vectors[jnp.maximum(lids, 0)]
+        lsq = st.sq_norms[jnp.maximum(lids, 0)]
+        d_up = _pair_dists(qvecs[None], qsq[None], lvecs[None], lsq[None], metric)[0]
+        usable = (lids >= 0) & (lids < n0)  # inserted, not self (self not < n0)
+        d_up = jnp.where(usable[None, :], d_up, _INF)
+        kk = min(2 * m, lids.shape[0])
+        neg_u, uj = jax.lax.top_k(-d_up, kk)
+        up_d = -neg_u
+        up_ids = jnp.where(jnp.isfinite(up_d), lids[uj], -1)
+        # merge with within-batch members of this level
+        wb_lvl_ok = st.levels[jnp.maximum(wb_ids, 0)] >= lvl
+        wb_ids_l = jnp.where((wb_ids >= 0) & wb_lvl_ok, wb_ids, -1)
+        pu_ids = jnp.concatenate([up_ids, wb_ids_l], axis=1)
+        pu_d = jnp.concatenate(
+            [jnp.where(up_ids >= 0, up_d, _INF), jnp.where(wb_ids_l >= 0, wb_d, _INF)],
+            axis=1,
+        )
+        uo = jnp.argsort(pu_d, axis=1)
+        pu_d = jnp.take_along_axis(pu_d, uo, axis=1)
+        pu_ids = jnp.take_along_axis(pu_ids, uo, axis=1)
+        udup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), pu_ids[:, 1:] == pu_ids[:, :-1]], axis=1
+        )
+        pu_ok = (pu_ids >= 0) & ~udup & node_has[:, None]
+        pu_ok &= pu_ids != safe_ids[:, None]
+        pu_d = jnp.where(pu_ok, pu_d, _INF)
+        pu_c = jnp.where(pu_ok, pu_ids, 0)
+        puv = st.vectors[pu_c]
+        pusq = st.sq_norms[pu_c]
+        upair = _pair_dists(puv, pusq, puv, pusq, metric)
+        sel = select_heuristic_batch(pu_d, upair, pu_ok, m)
+        fwd = _mask_to_ids(pu_ids, sel, m)  # [B, m]
+        slots = jnp.where(node_has, st.upper_slot[safe_ids], ucap - 1)
+        write_rows = jnp.where(node_has, slots * LMAX + (lvl - 1), dummy_flat)
+        flat = flat.at[write_rows].set(
+            jnp.where(node_has[:, None], fwd, flat[dummy_flat])
+        )
+        flat = _scatter_reverse(
+            flat,
+            lambda t: jnp.clip(st.upper_slot[t], 0, ucap - 1) * LMAX + (lvl - 1),
+            dummy_flat,
+            jnp.where(node_has[:, None], fwd, -1).reshape(-1),
+            jnp.repeat(safe_ids, m),
+            st.vectors,
+            st.sq_norms,
+            metric,
+            m,
+            max_in,
+            lane_chunk=4096,
+        )
+    upper = flat.reshape(ucap, LMAX, m)
+
+    # ---- entry point / max level / count ----
+    batch_max = jnp.max(new_levels)
+    batch_arg = safe_ids[jnp.argmax(new_levels)]
+    better = batch_max > st.max_level
+    entry = jnp.where(better, batch_arg, st.entry)
+    max_level = jnp.where(better, batch_max, st.max_level)
+
+    return st.replace(
+        neighbors0=neighbors0,
+        upper_neighbors=upper,
+        entry=entry,
+        max_level=max_level,
+        n=st.n + jnp.sum(active.astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("efc", "max_in"), donate_argnums=(0,))
+def insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
+                 max_in: int) -> BuildState:
+    return _insert_round(st, ids, level_ids, efc, max_in)
+
+
+def build_on_device(
+    vectors: np.ndarray,
+    params: HnswParams,
+    batch: int = 256,
+    seed: int = 0,
+    max_in: int | None = None,
+    labels: np.ndarray | None = None,
+) -> DeviceGraph:
+    """Build an HNSW graph for ``vectors`` entirely on device.
+
+    Supports l2sq/cos over f32 (apply bf16/i8/PQ storage after build via
+    to_device-style conversion). Returns a search-ready DeviceGraph.
+    """
+    metric = Metric(params.metric)
+    if metric == Metric.HAMMING:
+        raise NotImplementedError("device build supports l2sq/cos; build hamming on host")
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    n, dim = vectors.shape
+    m = params.m
+    max_in = max_in or max(4, m // 2)
+    batch = min(batch, n)
+
+    # host-side level draws + upper slot assignment (insert.c:32-46 law)
+    rng = np.random.default_rng(seed)
+    u = np.maximum(rng.random(n), 1e-300)
+    levels = np.minimum(
+        (-np.log(u) * params.level_lambda).astype(np.int64), LMAX
+    ).astype(np.int32)
+    has_upper = levels >= 1
+    upper_slot = np.full(n, -1, np.int32)
+    upper_slot[has_upper] = np.arange(int(has_upper.sum()), dtype=np.int32)
+    ucap = int(has_upper.sum()) + 1  # +1 dummy slot for masked writes
+
+    sq = np.einsum("nd,nd->n", vectors, vectors).astype(np.float32)
+    st = BuildState(
+        vectors=jnp.asarray(vectors),
+        sq_norms=jnp.asarray(sq),
+        neighbors0=jnp.full((n + 1, 2 * m), -1, jnp.int32),
+        upper_neighbors=jnp.full((ucap, LMAX, m), -1, jnp.int32),
+        upper_slot=jnp.asarray(upper_slot),
+        levels=jnp.asarray(levels),
+        entry=jnp.asarray(int(np.argmax(levels[:batch])), jnp.int32),
+        max_level=jnp.asarray(int(levels[:batch].max()), jnp.int32),
+        n=jnp.asarray(0, jnp.int32),
+        m=m,
+        dim=dim,
+        metric=int(metric),
+    )
+
+    # per-level id lists (level_ids[l-1] = ids with level >= l, -1 padded to
+    # a stable static size so jit compiles once per level count)
+    level_id_arrays = []
+    for lvl in range(1, LMAX + 1):
+        lids = np.nonzero(levels >= lvl)[0].astype(np.int32)
+        if len(lids) == 0:
+            break
+        size = max(8, 1 << int(np.ceil(np.log2(len(lids)))))
+        padded = np.full(size, -1, np.int32)
+        padded[: len(lids)] = lids
+        level_id_arrays.append(jnp.asarray(padded))
+
+    # rounds; the first round's graph is empty so the within-batch pool does
+    # all the linking (an exact pruned kNN seed graph)
+    # always pass the full level tuple: nearly every round contains a node of
+    # near-max level anyway, and a single static level count means ONE compile
+    level_tuple = tuple(level_id_arrays)
+    pos = 0
+    while pos < n:
+        end = min(pos + batch, n)
+        ids = np.arange(pos, end, dtype=np.int32)
+        if len(ids) < batch:
+            ids = np.concatenate([ids, np.full(batch - len(ids), -1, np.int32)])
+        st = insert_round(
+            st,
+            jnp.asarray(ids),
+            level_tuple,
+            efc=params.ef_construction,
+            max_in=max_in,
+        )
+        pos = end
+
+    if labels is None:
+        labels_np = np.arange(n, dtype=np.uint64)
+    else:
+        labels_np = np.asarray(labels, np.uint64)
+    from lantern_tpu.graph.device import split_labels
+
+    return DeviceGraph(
+        vectors=st.vectors,
+        sq_norms=st.sq_norms,
+        neighbors0=st.neighbors0,
+        upper_neighbors=st.upper_neighbors,
+        upper_slot=st.upper_slot,
+        levels=st.levels,
+        labels=jnp.asarray(split_labels(labels_np)),
+        deleted=jnp.zeros((n,), bool),
+        entry=st.entry,
+        max_level=st.max_level,
+        num_nodes=jnp.asarray(n, jnp.int32),
+        m=m,
+        dim=dim,
+        metric=int(metric),
+    )

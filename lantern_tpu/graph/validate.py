@@ -34,6 +34,40 @@ class ValidationReport:
             raise AssertionError("index validation failed:\n" + "\n".join(self.errors))
 
 
+def validate_device(graph, full: bool = True,
+                    min_reachable_frac: float = 0.98) -> ValidationReport:
+    """Validate a DeviceGraph by wrapping its arrays in an engine-like view."""
+
+    class _View:
+        pass
+
+    import dataclasses as _dc
+
+    from lantern_tpu.config import HnswParams, Metric, QuantKind
+
+    v = _View()
+    n = int(graph.num_nodes)
+    nbr0 = np.asarray(graph.neighbors0[:n])
+    v.n = n
+    v.neighbors0 = nbr0
+    v.counts0 = (nbr0 >= 0).sum(axis=1).astype(np.int32)
+    v.levels = np.asarray(graph.levels[:n])
+    v.upper_slot = np.asarray(graph.upper_slot[:n])
+    un = np.asarray(graph.upper_neighbors)
+    v.upper_neighbors = un
+    v.upper_counts = (un >= 0).sum(axis=2).astype(np.int32)
+    # the device dummy slot (builder scratch) may hold garbage; mask it out
+    used = v.upper_slot[v.upper_slot >= 0]
+    v.n_upper = int(used.max()) + 1 if used.size else 0
+    v.entry = int(graph.entry)
+    v.max_level = int(graph.max_level)
+    quant = QuantKind.F32 if graph.quant == 100 else QuantKind(graph.quant)
+    v.p = HnswParams(dim=max(graph.dim, 1), m=graph.m,
+                     metric=Metric(graph.metric), quant=quant)
+    del _dc
+    return validate(v, full=full, min_reachable_frac=min_reachable_frac)
+
+
 def validate(engine, full: bool = True, min_reachable_frac: float = 0.98) -> ValidationReport:
     """Validate a Host/Native engine (duck-typed arrays)."""
     errors: list[str] = []

@@ -1,0 +1,105 @@
+"""Device (TPU-native) batched builder tests — small sizes on the CPU mesh.
+
+The builder must produce graphs with recall parity to the sequential host
+engine at equal parameters (the reference's quality bar for its external
+indexing server: same usearch graph, built concurrently).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams, Metric
+from lantern_tpu.graph.build_device import build_on_device
+from lantern_tpu.graph.device import join_labels
+from lantern_tpu.graph.search import search_batched
+from lantern_tpu.graph.validate import validate_device
+from lantern_tpu.ops import exact_search
+
+
+def _recall(found_ids, true_ids):
+    hits = 0
+    for f, t in zip(found_ids, true_ids):
+        hits += len(set(int(x) for x in f if x >= 0) & set(int(x) for x in t))
+    return hits / true_ids.size
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(60)
+    base = rng.standard_normal((3000, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=64)
+    g = build_on_device(base, p, batch=256, seed=0)
+    return g, base, p
+
+
+def test_device_build_recall_parity(built):
+    g, base, p = built
+    rng = np.random.default_rng(61)
+    q = rng.standard_normal((32, 32)).astype(np.float32)
+    _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
+    _, ids, _ = search_batched(g, jnp.array(q), k=10, ef=64)
+    rec_dev = _recall(np.asarray(ids), np.asarray(tids))
+    # host engine at identical params
+    from lantern_tpu.graph.device import to_device
+    from lantern_tpu.native import NativeHnsw
+
+    ix = NativeHnsw(p, capacity=3000, seed=0)
+    ix.add(base)
+    _, ids_h, _ = search_batched(to_device(ix), jnp.array(q), k=10, ef=64)
+    rec_host = _recall(np.asarray(ids_h), np.asarray(tids))
+    assert rec_dev >= rec_host - 0.05, f"device {rec_dev} vs host {rec_host}"
+    assert rec_dev >= 0.85
+
+
+def test_device_build_structure(built):
+    g, base, p = built
+    n = int(g.num_nodes)
+    assert n == 3000
+    nb = np.asarray(g.neighbors0[:n])
+    rows = np.arange(n)[:, None]
+    assert ((nb != rows) | (nb < 0)).all(), "self loops"
+    assert nb.max() < n
+    deg = (nb >= 0).sum(1)
+    assert (deg <= p.m0).all() and deg.min() >= 1
+    rep = validate_device(g, full=True)
+    rep.raise_if_failed()
+
+
+def test_device_build_labels(built):
+    g, base, p = built
+    rng = np.random.default_rng(62)
+    # labels default to arange
+    q = jnp.array(base[:4])
+    d, ids, labels = search_batched(g, q, k=3, ef=32)
+    joined = join_labels(np.asarray(labels))
+    ids = np.asarray(ids)
+    np.testing.assert_array_equal(joined[ids >= 0].astype(np.int64), ids[ids >= 0])
+    assert (ids[:, 0] == np.arange(4)).all()  # self-match
+    del rng
+
+
+def test_device_build_cosine():
+    rng = np.random.default_rng(63)
+    base = rng.standard_normal((1500, 24)).astype(np.float32)
+    p = HnswParams(dim=24, m=8, ef_construction=48, metric=Metric.COS)
+    g = build_on_device(base, p, batch=256, seed=0)
+    q = rng.standard_normal((16, 24)).astype(np.float32)
+    _, tids = exact_search(jnp.array(q), jnp.array(base), k=10, metric=Metric.COS)
+    _, ids, _ = search_batched(g, jnp.array(q), k=10, ef=64)
+    assert _recall(np.asarray(ids), np.asarray(tids)) >= 0.85
+
+
+def test_device_build_hamming_rejected():
+    p = HnswParams(dim=64, m=8, metric=Metric.HAMMING)
+    with pytest.raises(NotImplementedError):
+        build_on_device(np.zeros((10, 2), np.uint32), p)
+
+
+def test_device_build_tiny():
+    rng = np.random.default_rng(64)
+    base = rng.standard_normal((5, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    g = build_on_device(base, p, batch=256, seed=0)
+    d, ids, _ = search_batched(g, jnp.array(base), k=5, ef=8)
+    assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
