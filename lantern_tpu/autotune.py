@@ -1,0 +1,128 @@
+"""Index parameter autotuning — parity with lantern_cli index_autotune.
+
+Reference (lantern_cli/src/index_autotune/mod.rs):
+- samples up to N rows into a test table, computes exact ground truth for 10
+  random queries via seq scan (:188-218)
+- iterates 6 (m, ef_construction, ef) variants (:328-359):
+  (6,32,64) (8,40,64) (12,48,64) (16,60,76) (32,96,96) (48,128,128)
+- measures recall@k, query latency, build time per variant (:220-254)
+- picks the fastest (latency, then build time) variant meeting the target
+  recall (:161-186)
+
+Here the variants build on the device builder (or native engine), queries run
+batched on device, ground truth via the exact oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams, Metric
+
+# (m, ef_construction, ef) — index_autotune/mod.rs:328-359
+AUTOTUNE_VARIANTS = (
+    (6, 32, 64),
+    (8, 40, 64),
+    (12, 48, 64),
+    (16, 60, 76),
+    (32, 96, 96),
+    (48, 128, 128),
+)
+
+
+@dataclasses.dataclass
+class AutotuneResult:
+    m: int
+    ef_construction: int
+    ef: int
+    recall: float
+    latency_s: float
+    build_s: float
+
+    def exp_str(self) -> str:
+        return (
+            f"m={self.m} efc={self.ef_construction} ef={self.ef}: "
+            f"recall={self.recall:.3f} latency={self.latency_s*1e3:.2f}ms "
+            f"build={self.build_s:.1f}s"
+        )
+
+
+def autotune(
+    vectors: np.ndarray,
+    metric: Metric = Metric.L2SQ,
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample: int = 10_000,
+    num_queries: int = 10,
+    variants=AUTOTUNE_VARIANTS,
+    seed: int = 0,
+    engine: str = "device",
+    query_batch: int = 256,
+) -> tuple[AutotuneResult | None, list[AutotuneResult]]:
+    """Sweep variants; returns (best_meeting_target_or_None, all_results)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lantern_tpu.graph.search import search_batched
+    from lantern_tpu.ops import exact_search
+
+    rng = np.random.default_rng(seed)
+    vectors = np.asarray(vectors, np.float32)
+    if len(vectors) > sample:
+        idx = rng.choice(len(vectors), sample, replace=False)
+        vectors = vectors[idx]
+    n, dim = vectors.shape
+
+    qidx = rng.choice(n, size=min(num_queries, n), replace=False)
+    queries = vectors[qidx] + 0.0
+    # exact ground truth (mod.rs:188-218's seq-scan oracle)
+    _, true_ids = exact_search(jnp.asarray(queries), jnp.asarray(vectors),
+                               k=k, metric=metric)
+    true_ids = np.asarray(true_ids)
+
+    results: list[AutotuneResult] = []
+    for m, efc, ef in variants:
+        p = HnswParams(dim=dim, m=m, ef_construction=min(efc, 400),
+                       ef=min(ef, 400), metric=metric)
+        t0 = time.perf_counter()
+        if engine == "device":
+            from lantern_tpu.graph.build_device import build_on_device
+
+            g = build_on_device(vectors, p, batch=min(512, n), seed=seed)
+        else:
+            from lantern_tpu.graph.device import to_device
+            from lantern_tpu.native import NativeHnsw
+
+            ix = NativeHnsw(p, capacity=n, seed=seed)
+            ix.add(vectors)
+            g = to_device(ix)
+        jax.block_until_ready(g.neighbors0)
+        build_s = time.perf_counter() - t0
+
+        qs = jnp.asarray(queries)
+        d, ids, _ = search_batched(g, qs, k=k, ef=ef)
+        jax.block_until_ready(d)  # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            d, ids, _ = search_batched(g, qs, k=k, ef=ef)
+            jax.block_until_ready(d)
+        latency = (time.perf_counter() - t0) / reps
+        ids = np.asarray(ids)
+        recall = float(
+            np.mean(
+                [
+                    len(set(a[a >= 0].tolist()) & set(b.tolist())) / k
+                    for a, b in zip(ids, true_ids)
+                ]
+            )
+        )
+        results.append(AutotuneResult(m, efc, ef, recall, latency, build_s))
+
+    # selection: fastest meeting target, ties by build time (mod.rs:161-186)
+    meeting = [r for r in results if r.recall >= target_recall]
+    best = min(meeting, key=lambda r: (r.latency_s, r.build_s)) if meeting else None
+    return best, results

@@ -1,0 +1,260 @@
+"""lantern-tpu CLI — parity with lantern_cli's subcommands (R1, cli.rs).
+
+Subcommands (reference in parentheses):
+- start-indexing-server  (StartIndexingServer)
+- start-router           (the router server type)
+- start-server           (StartServer — HTTP API)
+- start-daemon           (StartDaemon)
+- autotune-index         (AutotuneIndex)
+- pq-table               (PQTable — here: PQ-train/encode a .npy dataset)
+- create-embeddings      (CreateEmbeddings)
+- measure-model-speed    (MeasureModelSpeed)
+- build-index / search   (local convenience over .npy datasets)
+
+Run: python -m lantern_tpu.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_start_indexing_server(args):
+    from lantern_tpu.service.index_server import IndexServer
+
+    ssl_ctx = None
+    if args.cert and args.key:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.cert, args.key)
+    srv = IndexServer(host=args.host, port=args.port,
+                      status_port=args.status_port, ssl_context=ssl_ctx)
+
+    async def main():
+        await srv.start()
+        print(f"indexing server on {srv.host}:{srv.port} "
+              f"(status :{srv.status_port})", flush=True)
+        await asyncio.Event().wait()
+
+    asyncio.run(main())
+
+
+def _cmd_start_router(args):
+    from lantern_tpu.service.index_server import RouterServer
+
+    srv = RouterServer(args.target_host, args.target_port,
+                       host=args.host, port=args.port)
+
+    async def main():
+        await srv.start()
+        print(f"router on {srv.host}:{srv.port} -> "
+              f"{args.target_host}:{args.target_port}", flush=True)
+        await asyncio.Event().wait()
+
+    asyncio.run(main())
+
+
+def _cmd_start_server(args):
+    from lantern_tpu.service.http_api import HttpApi
+
+    api = HttpApi(host=args.host, port=args.port,
+                  username=args.username, password=args.password).start()
+    print(f"http api on {api.host}:{api.port}", flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        api.stop()
+
+
+def _cmd_start_daemon(args):
+    from lantern_tpu.service.daemon import Daemon, JobQueue
+
+    q = JobQueue(args.queue_dir)
+    d = Daemon(q, poll_s=args.poll_interval).start()
+    print(f"daemon watching {args.queue_dir}", flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        d.stop()
+
+
+def _cmd_autotune_index(args):
+    from lantern_tpu.autotune import autotune
+    from lantern_tpu.config import Metric
+
+    vectors = np.load(args.input)
+    best, results = autotune(
+        vectors,
+        metric=Metric.from_string(args.metric),
+        k=args.k,
+        target_recall=args.recall,
+        sample=args.test_data_size,
+        engine=args.engine,
+    )
+    for r in results:
+        print(r.exp_str())
+    if best:
+        print(f"BEST: {best.exp_str()}")
+    else:
+        print(f"no variant met target recall {args.recall}")
+
+
+def _cmd_pq_table(args):
+    from lantern_tpu.quant.pq import pq_encode, train_codebook
+
+    vectors = np.load(args.input).astype(np.float32)
+    dim = vectors.shape[1]
+    nsub = args.splits or max(1, dim // 4)
+    cb = train_codebook(vectors, num_subvectors=nsub,
+                        num_centroids=args.clusters, seed=args.seed)
+    codes = pq_encode(vectors, cb)
+    np.savez(args.output, codebook=cb.centroids, codes=codes)
+    print(f"codebook {cb.centroids.shape}, codes {codes.shape} -> {args.output}")
+
+
+def _cmd_create_embeddings(args):
+    from lantern_tpu.embeddings import get_runtime
+
+    with open(args.input) as f:
+        texts = [line.rstrip("\n") for line in f if line.strip()]
+    kw = json.loads(args.runtime_params) if args.runtime_params else {}
+    rt = get_runtime(args.runtime, **kw)
+    embs = rt.process(texts)
+    np.save(args.output, embs)
+    print(f"embedded {len(texts)} rows dim={embs.shape[1]} -> {args.output}")
+
+
+def _cmd_measure_model_speed(args):
+    from lantern_tpu.embeddings import get_runtime, measure_speed
+
+    kw = json.loads(args.runtime_params) if args.runtime_params else {}
+    rt = get_runtime(args.runtime, **kw)
+    texts = [f"sample sentence number {i} for speed measurement" for i in range(256)]
+    print(f"{measure_speed(rt, texts):.0f} embeddings/s")
+
+
+def _cmd_build_index(args):
+    from lantern_tpu.config import HnswParams, Metric
+    from lantern_tpu.index import Index
+
+    vectors = np.load(args.input).astype(np.float32)
+    p = HnswParams(dim=vectors.shape[1], m=args.m,
+                   ef_construction=args.efc, ef=args.ef,
+                   metric=Metric.from_string(args.metric))
+    ix = Index(p, capacity=len(vectors))
+    ix.add(vectors)
+    ix.save(args.output)
+    rep = ix.validate(full=False)
+    print(f"built {ix.size} vectors -> {args.output} (valid={rep.ok})")
+
+
+def _cmd_search(args):
+    from lantern_tpu.index import Index
+
+    ix = Index.load(args.index)
+    queries = np.load(args.queries).astype(np.float32)
+    d, labels = ix.search(queries, k=args.k, ef=args.ef)
+    for qi in range(len(queries)):
+        row = [
+            {"label": int(l), "dist": float(x)}
+            for x, l in zip(d[qi], labels[qi])
+            if np.isfinite(x)
+        ]
+        print(json.dumps(row))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="lantern-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("start-indexing-server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8998)
+    s.add_argument("--status-port", type=int, default=8999)
+    s.add_argument("--cert"), s.add_argument("--key")
+    s.set_defaults(fn=_cmd_start_indexing_server)
+
+    s = sub.add_parser("start-router")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8997)
+    s.add_argument("--target-host", required=True)
+    s.add_argument("--target-port", type=int, required=True)
+    s.set_defaults(fn=_cmd_start_router)
+
+    s = sub.add_parser("start-server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--username"), s.add_argument("--password")
+    s.set_defaults(fn=_cmd_start_server)
+
+    s = sub.add_parser("start-daemon")
+    s.add_argument("--queue-dir", required=True)
+    s.add_argument("--poll-interval", type=float, default=1.0)
+    s.set_defaults(fn=_cmd_start_daemon)
+
+    s = sub.add_parser("autotune-index")
+    s.add_argument("--input", required=True, help=".npy dataset")
+    s.add_argument("--metric", default="l2sq")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--recall", type=float, default=0.9)
+    s.add_argument("--test-data-size", type=int, default=10000)
+    s.add_argument("--engine", default="device", choices=["device", "native"])
+    s.set_defaults(fn=_cmd_autotune_index)
+
+    s = sub.add_parser("pq-table")
+    s.add_argument("--input", required=True, help=".npy dataset")
+    s.add_argument("--output", required=True, help=".npz codebook+codes")
+    s.add_argument("--clusters", type=int, default=256)
+    s.add_argument("--splits", type=int, default=0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_pq_table)
+
+    s = sub.add_parser("create-embeddings")
+    s.add_argument("--input", required=True, help="text file, one row per line")
+    s.add_argument("--output", required=True, help=".npy output")
+    s.add_argument("--runtime", default="hash")
+    s.add_argument("--runtime-params", default="", help="JSON args")
+    s.set_defaults(fn=_cmd_create_embeddings)
+
+    s = sub.add_parser("measure-model-speed")
+    s.add_argument("--runtime", default="hash")
+    s.add_argument("--runtime-params", default="")
+    s.set_defaults(fn=_cmd_measure_model_speed)
+
+    s = sub.add_parser("build-index")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--metric", default="l2sq")
+    s.add_argument("--m", type=int, default=16)
+    s.add_argument("--efc", type=int, default=128)
+    s.add_argument("--ef", type=int, default=64)
+    s.set_defaults(fn=_cmd_build_index)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--ef", type=int, default=None)
+    s.set_defaults(fn=_cmd_search)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

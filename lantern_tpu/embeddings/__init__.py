@@ -1,0 +1,213 @@
+"""Embedding generation runtimes — parity with lantern_cli embeddings (R4)
+and lantern_extras' SQL embedding functions (X2).
+
+The reference exposes three runtimes behind one trait
+(core/runtime.rs:18-28): Ort (local ONNX models), OpenAi, Cohere — plus SQL
+fns text_embedding/llm_embedding/get_available_runtimes/get_available_models
+(embeddings.rs:129-221).
+
+Here the registry holds:
+- "hash":  deterministic feature-hashing embedder (always available, no
+           weights needed — the test/default runtime in a zero-egress env)
+- "local": transformers-based runtime for any locally present HF model dir
+           (the Ort analog; torch-cpu backend)
+- "openai"/"cohere": REST runtimes (urllib; base_url overridable so tests
+           can point them at a mock server)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import re
+import urllib.request
+
+import numpy as np
+
+_RUNTIMES = ("hash", "local", "openai", "cohere")
+
+# model name -> (runtime, dim); the reference registers ~17 ONNX models
+# (ort_runtime.rs:284-302); ours register lazily + these defaults
+KNOWN_MODELS = {
+    "hash": ("hash", 128),
+    "hash-384": ("hash", 384),
+    "hash-768": ("hash", 768),
+    "text-embedding-3-small": ("openai", 1536),
+    "text-embedding-3-large": ("openai", 3072),
+    "text-embedding-ada-002": ("openai", 1536),
+    "embed-english-v3.0": ("cohere", 1024),
+    "embed-multilingual-v3.0": ("cohere", 1024),
+}
+
+
+def get_available_runtimes() -> list[str]:
+    return list(_RUNTIMES)
+
+
+def get_available_models() -> list[dict]:
+    return [
+        {"name": name, "runtime": rt, "dim": dim}
+        for name, (rt, dim) in KNOWN_MODELS.items()
+    ]
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+class HashRuntime:
+    """Deterministic feature-hashing embedding (cosine-friendly).
+
+    Tokenizes, hashes each token into `dim` buckets with a signed value,
+    l2-normalizes. Stable across processes; useful for tests, demos, and
+    as a no-dependency BM25-ish dense baseline.
+    """
+
+    def __init__(self, dim: int = 128):
+        self.dim = dim
+
+    def process(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            for tok in _TOKEN_RE.findall(text.lower()):
+                h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                v = int.from_bytes(h, "little")
+                bucket = v % self.dim
+                sign = 1.0 if (v >> 32) & 1 else -1.0
+                out[i, bucket] += sign
+            norm = float(np.linalg.norm(out[i]))
+            if norm > 0:
+                out[i] /= norm
+        return out
+
+
+class LocalTransformerRuntime:
+    """Local HF-transformers embedding runtime (the reference's Ort analog).
+
+    Requires model weights present on disk (zero-egress environment); mean
+    pooling over the last hidden state (ort_runtime.rs:31-134 pooling modes;
+    mean is the common default).
+    """
+
+    def __init__(self, model_path: str, device: str = "cpu", batch_size: int = 32):
+        from transformers import AutoModel, AutoTokenizer  # lazy import
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModel.from_pretrained(model_path)
+        self.model.eval()
+        self.batch_size = batch_size
+
+    def process(self, texts: list[str]) -> np.ndarray:
+        import torch
+
+        outs = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = texts[i : i + self.batch_size]
+            enc = self.tokenizer(batch, padding=True, truncation=True,
+                                 max_length=512, return_tensors="pt")
+            with torch.no_grad():
+                hidden = self.model(**enc).last_hidden_state
+            mask = enc["attention_mask"].unsqueeze(-1).float()
+            pooled = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+            outs.append(pooled.numpy().astype(np.float32))
+        return np.concatenate(outs)
+
+
+class _RestRuntime:
+    """Shared REST embedding runtime (OpenAi/Cohere parity, urllib-based)."""
+
+    def __init__(self, api_key: str, base_url: str, batch_size: int = 128):
+        self.api_key = api_key
+        self.base_url = base_url.rstrip("/")
+        self.batch_size = batch_size
+
+    def _post(self, path: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+
+class OpenAiRuntime(_RestRuntime):
+    def __init__(self, api_key: str, model: str = "text-embedding-3-small",
+                 base_url: str = "https://api.openai.com/v1", **kw):
+        super().__init__(api_key, base_url, **kw)
+        self.model = model
+
+    def process(self, texts: list[str]) -> np.ndarray:
+        outs = []
+        for i in range(0, len(texts), self.batch_size):
+            resp = self._post("/embeddings", {
+                "model": self.model, "input": texts[i : i + self.batch_size],
+            })
+            outs.extend(item["embedding"] for item in resp["data"])
+        return np.asarray(outs, np.float32)
+
+    def completion(self, prompt: str, model: str = "gpt-4o-mini",
+                   system: str | None = None) -> str:
+        """llm_completion analog (embeddings.rs llm fns)."""
+        messages = ([{"role": "system", "content": system}] if system else []) + [
+            {"role": "user", "content": prompt}
+        ]
+        resp = self._post("/chat/completions", {"model": model, "messages": messages})
+        return resp["choices"][0]["message"]["content"]
+
+
+class CohereRuntime(_RestRuntime):
+    def __init__(self, api_key: str, model: str = "embed-english-v3.0",
+                 base_url: str = "https://api.cohere.ai/v1", **kw):
+        super().__init__(api_key, base_url, **kw)
+        self.model = model
+
+    def process(self, texts: list[str], input_type: str = "search_document") -> np.ndarray:
+        outs = []
+        for i in range(0, len(texts), self.batch_size):
+            resp = self._post("/embed", {
+                "model": self.model,
+                "texts": texts[i : i + self.batch_size],
+                "input_type": input_type,
+            })
+            outs.extend(resp["embeddings"])
+        return np.asarray(outs, np.float32)
+
+
+def get_runtime(name: str, **kw):
+    if name == "hash":
+        return HashRuntime(**kw)
+    if name == "local":
+        return LocalTransformerRuntime(**kw)
+    if name == "openai":
+        return OpenAiRuntime(**kw)
+    if name == "cohere":
+        return CohereRuntime(**kw)
+    raise ValueError(f"unknown runtime {name!r}; available: {_RUNTIMES}")
+
+
+def text_embedding(model: str, text: str, dim: int | None = None, **kw) -> np.ndarray:
+    """One-shot embedding (SQL fn text_embedding(model, text) parity)."""
+    if model.startswith("hash"):
+        d = dim or KNOWN_MODELS.get(model, ("hash", 128))[1]
+        return HashRuntime(dim=d).process([text])[0]
+    rt_name, _ = KNOWN_MODELS.get(model, ("local", 0))
+    if rt_name == "local":
+        return LocalTransformerRuntime(model_path=model, **kw).process([text])[0]
+    rt = get_runtime(rt_name, model=model, **kw)
+    return rt.process([text])[0]
+
+
+def measure_speed(runtime, texts: list[str], repeats: int = 3) -> float:
+    """Embeddings/sec (measure_speed.rs analog)."""
+    import time
+
+    runtime.process(texts[:1])  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        runtime.process(texts)
+    dt = (time.perf_counter() - t0) / repeats
+    return len(texts) / dt if dt > 0 else math.inf

@@ -1,0 +1,162 @@
+"""External-index client — parity with the C socket client.
+
+Reference: lantern_hnsw/src/hnsw/external_index_socket.c — connect with
+timeout, handshake (version + server type), router redirect support
+(:411-447), INIT frame (:455-472), optional PQ codebook stream (:304-320),
+tuple stream (:517-536), END, then receive u64 count + u64 size + index
+file (:488-515); ERR frames surface as exceptions (:186-254).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams
+from lantern_tpu.service import protocol as proto
+from lantern_tpu.utils.failpoints import failure_point
+
+DEFAULT_TIMEOUT = 10.0  # the reference's 10 s read/write timeouts
+
+
+class ExternalIndexClient:
+    def __init__(self, host: str, port: int, timeout: float = DEFAULT_TIMEOUT,
+                 ssl_context=None):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+        self.ssl_context = ssl_context
+        self._sock: socket.socket | None = None
+
+    # ---- connection ----
+    def connect(self):
+        sock = socket.create_connection((self.host, self.port), self.timeout)
+        sock.settimeout(self.timeout)
+        if self.ssl_context is not None:
+            sock = self.ssl_context.wrap_socket(sock, server_hostname=self.host)
+        failure_point("connect", "after_connect")
+        _, stype = proto.unpack_handshake(self._recv_exact(sock, 8))
+        if stype == proto.SERVER_TYPE_ROUTER:
+            # router redirect: ask for a real indexing server and reconnect
+            sock.sendall(struct.pack("<I", proto.GET_SERVER_MSG))
+            is_secure, alen = struct.unpack("<II", self._recv_exact(sock, 8))
+            addr = self._recv_exact(sock, alen).decode()
+            (port,) = struct.unpack("<I", self._recv_exact(sock, 4))
+            sock.close()
+            self.host, self.port = addr, port
+            return self.connect()
+        if stype != proto.SERVER_TYPE_INDEXING:
+            raise proto.ProtocolError(f"unexpected server type {stype}")
+        self._sock = sock
+
+    def close(self):
+        if self._sock:
+            self._sock.close()
+            self._sock = None
+
+    def _recv_exact(self, sock, n: int) -> bytes:
+        chunks = []
+        got = 0
+        while got < n:
+            chunk = sock.recv(n - got)
+            if not chunk:
+                raise ConnectionError("connection closed by server")
+            # an ERR frame can arrive at any point (external_index_socket.c:186)
+            chunks.append(chunk)
+            got += len(chunk)
+        return b"".join(chunks)
+
+    def _check_error_frame(self, head: bytes, sock) -> bytes:
+        if len(head) >= 4 and struct.unpack("<I", head[:4])[0] == proto.ERR_MSG:
+            (ln,) = struct.unpack("<I", self._recv_exact(sock, 4))
+            msg = self._recv_exact(sock, ln).decode()
+            raise RuntimeError(f"external index server error: {msg}")
+        return head
+
+    # ---- build session ----
+    def build(
+        self,
+        vectors: np.ndarray,
+        params: HnswParams,
+        labels: np.ndarray | None = None,
+        codebook: np.ndarray | None = None,  # [S, K, dsub] when params.pq
+    ) -> bytes:
+        """Stream vectors, receive the serialized index snapshot bytes."""
+        self.connect()
+        sock = self._sock
+        init = proto.InitParams.from_hnsw_params(params, len(vectors))
+        sock.sendall(init.pack())
+        failure_point("build", "after_init")
+
+        if params.pq:
+            if codebook is None:
+                raise ValueError("pq build requires a codebook")
+            # [S, K, dsub] -> wire rows [K, dim]
+            wire = codebook.transpose(1, 0, 2).reshape(codebook.shape[1], -1)
+            for row in wire.astype(np.float32):
+                sock.sendall(row.tobytes())
+            sock.sendall(proto.pack_end())
+
+        if labels is None:
+            labels = np.arange(len(vectors), dtype=np.uint64)
+        vecs = np.ascontiguousarray(
+            vectors,
+            np.uint32 if init.element_bits == 1 else np.float32,
+        )
+        try:
+            for i in range(len(vecs)):
+                sock.sendall(proto.pack_tuple(int(labels[i]), vecs[i].tobytes()))
+                failure_point("build", "on_send_tuple")
+            sock.sendall(proto.pack_end())
+        except (BrokenPipeError, ConnectionResetError) as e:
+            # the server aborted mid-stream; its ERR frame may still be
+            # buffered — surface the real message if we can read it
+            # (parity with the client-side error checks on send,
+            # external_index_socket.c:186-254)
+            try:
+                head = self._recv_exact(sock, 4)
+                self._check_error_frame(head, sock)
+            except RuntimeError:
+                raise
+            except Exception:  # noqa: BLE001
+                pass
+            raise ConnectionError(f"server closed connection mid-stream: {e}")
+
+        head = self._recv_exact(sock, 8)
+        self._check_error_frame(head, sock)
+        (count,) = struct.unpack("<Q", head)
+        (size,) = struct.unpack("<Q", self._recv_exact(sock, 8))
+        data = self._recv_exact(sock, size)
+        self.close()
+        if count != len(vecs):
+            raise proto.ProtocolError(f"server indexed {count} != sent {len(vecs)}")
+        return data
+
+
+def build_via_server(
+    vectors: np.ndarray,
+    params: HnswParams,
+    host: str,
+    port: int,
+    labels: np.ndarray | None = None,
+    codebook=None,
+    timeout: float = DEFAULT_TIMEOUT,
+):
+    """Build remotely and return a loaded Index (CREATE INDEX external=true)."""
+    import os
+    import tempfile
+
+    from lantern_tpu.index import Index
+
+    cb = codebook.centroids if hasattr(codebook, "centroids") else codebook
+    client = ExternalIndexClient(host, port, timeout=timeout)
+    data = client.build(vectors, params, labels=labels, codebook=cb)
+    with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
+        tf.write(data)
+        path = tf.name
+    try:
+        return Index.load(path, extra_capacity=max(256, len(vectors) // 4))
+    finally:
+        os.unlink(path)

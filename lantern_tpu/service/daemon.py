@@ -1,0 +1,198 @@
+"""Job daemon — parity with lantern_cli's daemon (R6) and the job SQL API (X3).
+
+The reference watches `embedding_generation_jobs` / `autotune_jobs` tables,
+locks rows, runs jobs with cancel tokens and exponential-backoff restart
+(daemon/mod.rs:89-187), and records usage/failure rows.
+
+Here the queue is a directory of JSON job files (no Postgres in this stack):
+- submit(kind, spec) writes jobs/<id>.json with status "queued"
+- the daemon polls, claims (status -> running), executes, and finalizes
+  (completed/failed + error + usage), mirroring get_embedding_job_status
+  semantics (queued/running/completed/failed, daemon.rs:229-383)
+- failures retry with exponential backoff: 10s doubling, reset after a
+  healthy run (daemon/mod.rs:109-187) — configurable/scaled for tests
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+
+import numpy as np
+
+from lantern_tpu.utils.logger import Logger
+
+
+class JobQueue:
+    """Directory-backed job queue."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, job_id: str) -> str:
+        return os.path.join(self.path, f"{job_id}.json")
+
+    def submit(self, kind: str, spec: dict) -> str:
+        job_id = uuid.uuid4().hex[:12]
+        self._write(job_id, {
+            "id": job_id, "kind": kind, "spec": spec, "status": "queued",
+            "submitted_at": time.time(), "error": None, "usage": {},
+        })
+        return job_id
+
+    def _write(self, job_id: str, doc: dict):
+        tmp = self._file(job_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._file(job_id))
+
+    def get(self, job_id: str) -> dict:
+        with open(self._file(job_id)) as f:
+            return json.load(f)
+
+    def list(self) -> list[dict]:
+        out = []
+        for fn in os.listdir(self.path):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(self.path, fn)) as f:
+                        out.append(json.load(f))
+                except (OSError, json.JSONDecodeError):
+                    continue
+        return sorted(out, key=lambda j: j.get("submitted_at", 0))
+
+    def update(self, job_id: str, **fields):
+        doc = self.get(job_id)
+        doc.update(fields)
+        self._write(job_id, doc)
+
+    def cancel(self, job_id: str):
+        doc = self.get(job_id)
+        if doc["status"] in ("queued", "running"):
+            self.update(job_id, status="canceled")
+
+
+class Daemon:
+    """Polls the queue and executes jobs with backoff restart."""
+
+    def __init__(self, queue: JobQueue, poll_s: float = 0.2,
+                 backoff_base_s: float = 10.0, logger: Logger | None = None):
+        self.queue = queue
+        self.poll_s = poll_s
+        self.backoff_base_s = backoff_base_s
+        self.log = logger or Logger("daemon")
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._backoff = 0.0
+
+    # ---- job executors ----
+    def _run_embedding_job(self, spec: dict) -> dict:
+        from lantern_tpu.embeddings import get_runtime
+
+        with open(spec["input"]) as f:
+            texts = [line.rstrip("\n") for line in f if line.strip()]
+        rt = get_runtime(spec.get("runtime", "hash"),
+                         **spec.get("runtime_args", {}))
+        embs = rt.process(texts)
+        np.save(spec["output"], embs)
+        return {"rows": len(texts), "dim": int(embs.shape[1])}
+
+    def _run_autotune_job(self, spec: dict) -> dict:
+        from lantern_tpu.autotune import AUTOTUNE_VARIANTS, autotune
+        from lantern_tpu.config import Metric
+
+        vectors = np.load(spec["input"])
+        variants = (
+            tuple(tuple(v) for v in spec["variants"])
+            if spec.get("variants")
+            else AUTOTUNE_VARIANTS
+        )
+        best, results = autotune(
+            vectors,
+            metric=Metric.from_string(spec.get("metric", "l2sq")),
+            k=spec.get("k", 10),
+            target_recall=spec.get("target_recall", 0.9),
+            sample=spec.get("sample", 10000),
+            variants=variants,
+            engine=spec.get("engine", "device"),
+        )
+        return {
+            "best": vars(best) if best else None,
+            "results": [vars(r) for r in results],
+        }
+
+    def _run_index_job(self, spec: dict) -> dict:
+        from lantern_tpu.config import HnswParams, Metric
+        from lantern_tpu.index import Index
+
+        vectors = np.load(spec["input"])
+        p = HnswParams(
+            dim=vectors.shape[1],
+            m=spec.get("m", 16),
+            ef_construction=spec.get("ef_construction", 128),
+            metric=Metric.from_string(spec.get("metric", "l2sq")),
+        )
+        ix = Index(p, capacity=len(vectors))
+        ix.add(vectors)
+        ix.save(spec["output"])
+        return {"rows": ix.size}
+
+    _EXECUTORS = {
+        "embedding": _run_embedding_job,
+        "autotune": _run_autotune_job,
+        "index": _run_index_job,
+    }
+
+    # ---- loop ----
+    def _step(self) -> bool:
+        """Claim and run one queued job; returns True if one ran."""
+        for job in self.queue.list():
+            if job["status"] != "queued":
+                continue
+            jid = job["id"]
+            self.queue.update(jid, status="running", started_at=time.time())
+            self.log.info(f"job {jid} ({job['kind']}) started")
+            try:
+                fn = self._EXECUTORS[job["kind"]]
+                usage = fn(self, job["spec"])
+                self.queue.update(jid, status="completed", usage=usage,
+                                  finished_at=time.time())
+                self.log.info(f"job {jid} completed")
+                self._backoff = 0.0
+            except Exception as e:  # noqa: BLE001
+                self.queue.update(jid, status="failed", error=str(e),
+                                  finished_at=time.time())
+                self.log.error(f"job {jid} failed: {e}")
+                # exponential backoff before the next claim
+                self._backoff = max(self.backoff_base_s, self._backoff * 2)
+            return True
+        return False
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if self._backoff > 0:
+                if self._stop.wait(self._backoff):
+                    break
+                self._backoff = 0.0
+            ran = self._step()
+            if not ran:
+                self._stop.wait(self.poll_s)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(10)
+
+    def run_pending(self):
+        """Synchronously drain the queue (for tests/CLI one-shot mode)."""
+        while self._step():
+            pass

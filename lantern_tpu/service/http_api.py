@@ -1,0 +1,259 @@
+"""HTTP collection/search API — parity with lantern_cli's http_server (R7).
+
+Reference (lantern_cli/src/http_server/): actix-web REST API with basic
+auth: CRUD /collections, row insert, POST /collections/{name}/search
+(vector or text via embedding), POST .../index (build), DELETE .../index,
+POST .../pq. Stdlib ThreadingHTTPServer here — no framework dependency.
+
+Collections are named indexes with an attached row store; search runs
+batched on device through the Index facade.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from lantern_tpu.config import HnswParams, Metric
+from lantern_tpu.index import Index
+from lantern_tpu.utils.logger import Logger
+
+
+class Collection:
+    def __init__(self, name: str, dim: int, metric: Metric = Metric.COS):
+        self.name = name
+        self.dim = dim
+        self.metric = metric
+        self.index: Index | None = None
+        self.rows: dict[int, dict] = {}  # label -> row payload
+        self.next_id = 1
+        self.lock = threading.Lock()
+
+    def ensure_index(self, **opts):
+        if self.index is None:
+            params = HnswParams(
+                dim=self.dim,
+                m=opts.get("m", 16),
+                ef_construction=opts.get("ef_construction", 128),
+                ef=opts.get("ef", 64),
+                metric=self.metric,
+                pq=opts.get("pq", False),
+            )
+            self.index = Index(params, capacity=1024)
+        return self.index
+
+    def insert(self, vectors, payloads):
+        with self.lock:
+            ix = self.ensure_index()
+            labels = np.arange(self.next_id, self.next_id + len(vectors), dtype=np.uint64)
+            self.next_id += len(vectors)
+            ix.add(np.asarray(vectors, np.float32), labels=labels)
+            for lab, payload in zip(labels, payloads):
+                self.rows[int(lab)] = payload
+            return labels.tolist()
+
+
+class ApiState:
+    def __init__(self):
+        self.collections: dict[str, Collection] = {}
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "lantern-tpu-http/0.1"
+    state: ApiState = None
+    auth: str | None = None
+    log_obj: Logger = None
+
+    # --- plumbing ---
+    def log_message(self, fmt, *args):  # route through our logger
+        if self.log_obj:
+            self.log_obj.debug(fmt % args)
+
+    def _reply(self, code: int, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _err(self, code: int, msg: str):
+        self._reply(code, {"error": msg})
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length", 0))
+        if n == 0:
+            return {}
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _authorized(self) -> bool:
+        if self.auth is None:
+            return True
+        got = self.headers.get("Authorization", "")
+        return got == f"Basic {self.auth}"
+
+    def _route(self, method: str):
+        if not self._authorized():
+            return self._err(401, "unauthorized")
+        try:
+            path = self.path.rstrip("/")
+            if path in ("", "/"):
+                return self._reply(200, {
+                    "service": "lantern-tpu",
+                    "endpoints": [
+                        "GET /collections", "POST /collections",
+                        "DELETE /collections/{name}",
+                        "POST /collections/{name}/rows",
+                        "POST /collections/{name}/search",
+                        "POST /collections/{name}/index",
+                        "DELETE /collections/{name}/index",
+                        "POST /collections/{name}/pq",
+                    ],
+                })
+            if path == "/collections":
+                if method == "GET":
+                    return self._reply(200, [
+                        {"name": c.name, "dim": c.dim,
+                         "metric": Metric(c.metric).name.lower(),
+                         "size": c.index.size if c.index else 0,
+                         "indexed": c.index is not None}
+                        for c in self.state.collections.values()
+                    ])
+                if method == "POST":
+                    b = self._body()
+                    name = b["name"]
+                    if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+                        return self._err(400, "invalid collection name")
+                    with self.state.lock:
+                        if name in self.state.collections:
+                            return self._err(409, f"collection {name} exists")
+                        self.state.collections[name] = Collection(
+                            name,
+                            dim=int(b.get("dim", 0)) or 0,
+                            metric=Metric.from_string(b.get("metric", "cosine")),
+                        )
+                    return self._reply(201, {"name": name})
+            m = re.fullmatch(r"/collections/([A-Za-z0-9_\-]+)(/.*)?", path)
+            if m:
+                name, sub = m.group(1), (m.group(2) or "")
+                col = self.state.collections.get(name)
+                if col is None:
+                    return self._err(404, f"no collection {name}")
+                return self._collection_route(method, col, sub)
+            return self._err(404, f"no route {method} {path}")
+        except (KeyError, ValueError, TypeError) as e:
+            return self._err(400, f"{type(e).__name__}: {e}")
+        except Exception as e:  # noqa: BLE001
+            return self._err(500, f"{type(e).__name__}: {e}")
+
+    def _collection_route(self, method: str, col: Collection, sub: str):
+        if sub == "" and method == "DELETE":
+            with self.state.lock:
+                del self.state.collections[col.name]
+            return self._reply(200, {"deleted": col.name})
+        if sub == "/rows" and method == "POST":
+            b = self._body()
+            rows = b["rows"]
+            vecs = [r["vector"] for r in rows]
+            if col.dim == 0:
+                col.dim = len(vecs[0])
+            payloads = [{k: v for k, v in r.items() if k != "vector"} for r in rows]
+            ids = col.insert(vecs, payloads)
+            return self._reply(200, {"inserted": len(ids), "ids": ids})
+        if sub == "/search" and method == "POST":
+            b = self._body()
+            if col.index is None:
+                return self._err(400, "collection has no rows/index")
+            k = int(b.get("k", 10))
+            ef = b.get("ef")
+            if "vector" in b:
+                q = np.asarray([b["vector"]], np.float32)
+            elif "text" in b:
+                from lantern_tpu.embeddings import text_embedding
+
+                q = np.asarray(
+                    [text_embedding(b.get("model", "hash"), b["text"], dim=col.dim)],
+                    np.float32,
+                )
+            else:
+                return self._err(400, "search needs 'vector' or 'text'")
+            d, labels = col.index.search(q, k=k, ef=int(ef) if ef else None)
+            out = []
+            for dist, lab in zip(d[0], labels[0]):
+                if not np.isfinite(dist):
+                    continue
+                row = dict(col.rows.get(int(lab), {}))
+                row.update({"id": int(lab), "distance": float(dist)})
+                out.append(row)
+            return self._reply(200, {"results": out})
+        if sub == "/index" and method == "POST":
+            b = self._body()
+            col.ensure_index(
+                m=int(b.get("m", 16)),
+                ef_construction=int(b.get("ef_construction", 128)),
+                ef=int(b.get("ef", 64)),
+                pq=bool(b.get("pq", False)),
+            )
+            return self._reply(200, {"indexed": col.index.size})
+        if sub == "/index" and method == "DELETE":
+            col.index = None
+            return self._reply(200, {"dropped": col.name})
+        if sub == "/pq" and method == "POST":
+            if col.index is None or col.index.size == 0:
+                return self._err(400, "collection empty")
+            vecs = np.asarray(col.index._eng.vectors[: col.index.size])
+            from lantern_tpu.quant.pq import train_codebook
+
+            b = self._body()
+            nsub = int(b.get("num_subvectors", max(1, col.dim // 4)))
+            cb = train_codebook(vecs, num_subvectors=nsub,
+                                num_centroids=int(b.get("num_centroids", 256)))
+            col.pq_codebook = cb
+            return self._reply(200, {"codebook": list(cb.centroids.shape)})
+        return self._err(404, f"no route {method} {sub}")
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+class HttpApi:
+    """Threaded HTTP API server."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 username: str | None = None, password: str | None = None):
+        self.state = ApiState()
+        handler = type("BoundHandler", (_Handler,), {
+            "state": self.state,
+            "auth": (
+                base64.b64encode(f"{username}:{password}".encode()).decode()
+                if username else None
+            ),
+            "log_obj": Logger("http-api"),
+        })
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self.host = host
+        self._thread = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(5)

@@ -1,0 +1,206 @@
+"""HTTP API, embeddings, daemon, autotune, CLI tests (R4-R8 analogs)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lantern_tpu.embeddings import (
+    HashRuntime,
+    get_available_models,
+    get_available_runtimes,
+    text_embedding,
+)
+from lantern_tpu.service.daemon import Daemon, JobQueue
+from lantern_tpu.service.http_api import HttpApi
+
+
+def _req(method, url, body=None, auth=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    if auth:
+        import base64
+
+        req.add_header("Authorization",
+                       "Basic " + base64.b64encode(auth.encode()).decode())
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def api():
+    api = HttpApi(port=0).start()
+    yield api
+    api.stop()
+
+
+def test_http_collection_lifecycle(api, rng):
+    base = f"http://127.0.0.1:{api.port}"
+    code, info = _req("GET", base + "/")
+    assert code == 200 and "endpoints" in info
+    code, _ = _req("POST", base + "/collections", {"name": "movies", "metric": "l2sq"})
+    assert code == 201
+    # duplicate rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req("POST", base + "/collections", {"name": "movies"})
+    assert e.value.code == 409
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [{"vector": v.tolist(), "title": f"movie {i}"} for i, v in enumerate(vecs)]
+    code, res = _req("POST", base + "/collections/movies/rows", {"rows": rows})
+    assert code == 200 and res["inserted"] == 50
+    code, res = _req("POST", base + "/collections/movies/search",
+                     {"vector": vecs[7].tolist(), "k": 3})
+    assert code == 200
+    assert res["results"][0]["title"] == "movie 7"
+    assert res["results"][0]["distance"] < 1e-3
+    code, cols = _req("GET", base + "/collections")
+    assert cols[0]["size"] == 50
+    code, _ = _req("DELETE", base + "/collections/movies")
+    assert code == 200
+
+
+def test_http_text_search(api):
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "docs", "metric": "cosine"})
+    texts = ["the quick brown fox", "lazy dogs sleep all day", "tpu vector search"]
+    rows = [
+        {"vector": text_embedding("hash", t, dim=64).tolist(), "text": t}
+        for t in texts
+    ]
+    _req("POST", base + "/collections/docs/rows", {"rows": rows})
+    code, res = _req("POST", base + "/collections/docs/search",
+                     {"text": "quick fox", "k": 1})
+    assert code == 200
+    assert res["results"][0]["text"] == "the quick brown fox"
+
+
+def test_http_auth():
+    api = HttpApi(port=0, username="admin", password="secret").start()
+    try:
+        base = f"http://127.0.0.1:{api.port}"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req("GET", base + "/collections")
+        assert e.value.code == 401
+        code, _ = _req("GET", base + "/collections", auth="admin:secret")
+        assert code == 200
+    finally:
+        api.stop()
+
+
+def test_embeddings_runtimes():
+    assert "hash" in get_available_runtimes()
+    assert any(m["runtime"] == "openai" for m in get_available_models())
+    rt = HashRuntime(dim=64)
+    e = rt.process(["hello world", "hello world", "different text"])
+    assert e.shape == (3, 64)
+    np.testing.assert_array_equal(e[0], e[1])  # deterministic
+    assert np.linalg.norm(e[0] - e[2]) > 0.1
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, rtol=1e-5)
+
+
+def test_openai_runtime_against_mock():
+    """REST runtime speaks the OpenAI wire format (mock server)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Mock(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            assert self.headers["Authorization"] == "Bearer test-key"
+            body = json.dumps({
+                "data": [
+                    {"embedding": [float(len(t)), 1.0]} for t in req["input"]
+                ]
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Mock)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from lantern_tpu.embeddings import OpenAiRuntime
+
+        rt = OpenAiRuntime("test-key", base_url=f"http://127.0.0.1:{srv.server_address[1]}")
+        out = rt.process(["ab", "abcd"])
+        np.testing.assert_array_equal(out, [[2.0, 1.0], [4.0, 1.0]])
+    finally:
+        srv.shutdown()
+
+
+def test_daemon_jobs(tmp_path, rng):
+    q = JobQueue(str(tmp_path / "jobs"))
+    # embedding job
+    inp = tmp_path / "texts.txt"
+    inp.write_text("hello world\nvector search on tpu\n")
+    out = tmp_path / "emb.npy"
+    j1 = q.submit("embedding", {"input": str(inp), "output": str(out),
+                                "runtime": "hash", "runtime_args": {"dim": 32}})
+    # index job
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    vecs_path = tmp_path / "vecs.npy"
+    np.save(vecs_path, vecs)
+    j2 = q.submit("index", {"input": str(vecs_path),
+                            "output": str(tmp_path / "ix.ldb"), "m": 8})
+    # failing job
+    j3 = q.submit("embedding", {"input": "/nonexistent", "output": "x"})
+
+    d = Daemon(q, backoff_base_s=0.01)
+    d.run_pending()
+    assert q.get(j1)["status"] == "completed"
+    assert q.get(j1)["usage"]["rows"] == 2
+    assert np.load(out).shape == (2, 32)
+    assert q.get(j2)["status"] == "completed"
+    from lantern_tpu.index import Index
+
+    ix = Index.load(str(tmp_path / "ix.ldb"))
+    assert ix.size == 200
+    j3_doc = q.get(j3)
+    assert j3_doc["status"] == "failed" and "nonexistent" in j3_doc["error"]
+
+
+def test_autotune_small(rng):
+    from lantern_tpu.autotune import autotune
+
+    vectors = rng.standard_normal((800, 16)).astype(np.float32)
+    best, results = autotune(
+        vectors, k=5, target_recall=0.8, sample=800, num_queries=8,
+        variants=((8, 40, 64), (16, 60, 76)), engine="native",
+    )
+    assert len(results) == 2
+    assert all(0 <= r.recall <= 1 for r in results)
+    assert best is not None and best.recall >= 0.8
+
+
+def test_cli_pipeline(tmp_path, rng, capsys):
+    from lantern_tpu.cli import main
+
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    np.save(tmp_path / "data.npy", vecs)
+    np.save(tmp_path / "q.npy", vecs[:2])
+    main(["build-index", "--input", str(tmp_path / "data.npy"),
+          "--output", str(tmp_path / "ix.ldb"), "--m", "8"])
+    assert "built 300" in capsys.readouterr().out
+    main(["search", "--index", str(tmp_path / "ix.ldb"),
+          "--queries", str(tmp_path / "q.npy"), "--k", "3"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])[0]["label"] == 0
+    main(["pq-table", "--input", str(tmp_path / "data.npy"),
+          "--output", str(tmp_path / "pq.npz"), "--clusters", "16", "--splits", "4"])
+    z = np.load(tmp_path / "pq.npz")
+    assert z["codebook"].shape == (4, 16, 4) and z["codes"].shape == (300, 4)
+    inp = tmp_path / "texts.txt"
+    inp.write_text("a\nb\nc\n")
+    main(["create-embeddings", "--input", str(inp),
+          "--output", str(tmp_path / "e.npy"), "--runtime", "hash"])
+    assert np.load(tmp_path / "e.npy").shape[0] == 3

@@ -1,0 +1,153 @@
+"""External-index server/client protocol tests.
+
+Mirrors lantern_cli/tests/external_index_server_test.rs: drive the server
+as a real socket peer speaking the binary protocol, including router
+redirect, error frames, and fault injection.
+"""
+
+import asyncio
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams, Metric, QuantKind
+from lantern_tpu.service.client import ExternalIndexClient, build_via_server
+from lantern_tpu.service.index_server import IndexServer, RouterServer, ServerStatus
+from lantern_tpu.utils.failpoints import (
+    FailurePointError,
+    failure_point_disable_all,
+    failure_point_enable,
+)
+
+
+class _ServerThread:
+    """Runs servers on an asyncio loop in a daemon thread."""
+
+    def __init__(self, *servers):
+        self.servers = servers
+        self.loop = asyncio.new_event_loop()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.started = threading.Event()
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+        for s in self.servers:
+            self.loop.run_until_complete(s.start())
+        self.started.set()
+        self.loop.run_forever()
+
+    def __enter__(self):
+        self.thread.start()
+        assert self.started.wait(10)
+        return self
+
+    def __exit__(self, *exc):
+        for s in self.servers:
+            asyncio.run_coroutine_threadsafe(s.stop(), self.loop).result(5)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(5)
+
+
+@pytest.fixture(autouse=True)
+def _clean_failpoints():
+    failure_point_disable_all()
+    yield
+    failure_point_disable_all()
+
+
+def test_external_build_roundtrip(rng):
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    srv = IndexServer(port=0, status_port=0)
+    with _ServerThread(srv):
+        ix = build_via_server(base, p, "127.0.0.1", srv.port)
+        assert ix.size == 500
+        d, labels = ix.search(base[:4], k=3, ef=32)
+        assert (labels[:, 0] == np.arange(4)).all()
+        ix.validate().raise_if_failed()
+        # status endpoint reports success
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.status_port}/status", timeout=5
+        ) as r:
+            status = json.loads(r.read())
+        assert status["status"] == ServerStatus.SUCCEEDED
+
+
+def test_router_redirect(rng):
+    base = rng.standard_normal((100, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    srv = IndexServer(port=0, status_port=None)
+    with _ServerThread(srv):
+        router = RouterServer("127.0.0.1", srv.port, port=0)
+        with _ServerThread(router):
+            ix = build_via_server(base, p, "127.0.0.1", router.port)
+            assert ix.size == 100
+
+
+def test_server_error_frame(rng):
+    """Capacity overflow on the server must surface as a client error."""
+    base = rng.standard_normal((50, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    srv = IndexServer(port=0, status_port=None)
+    with _ServerThread(srv):
+        client = ExternalIndexClient("127.0.0.1", srv.port)
+        client.connect()
+        from lantern_tpu.service import protocol as proto
+
+        init = proto.InitParams.from_hnsw_params(p, 10)  # lie: capacity 10
+        client._sock.sendall(init.pack())
+        # the server replies with an ERR frame then closes; depending on
+        # timing the client sees the frame or a TCP reset (RST discards
+        # buffered data when the server closes with unread inbound bytes)
+        with pytest.raises((RuntimeError, ConnectionError)):
+            for i in range(50):
+                client._sock.sendall(proto.pack_tuple(i, base[i].tobytes()))
+            client._sock.sendall(proto.pack_end())
+            head = client._recv_exact(client._sock, 8)
+            client._check_error_frame(head, client._sock)
+
+
+def test_failure_point_in_client(rng):
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    srv = IndexServer(port=0, status_port=None)
+    with _ServerThread(srv):
+        failure_point_enable("build", "on_send_tuple", dont_trigger_first_nr=5)
+        with pytest.raises(FailurePointError):
+            build_via_server(base, p, "127.0.0.1", srv.port)
+        failure_point_disable_all()
+        # server must recover and serve the next build (serial accept loop)
+        ix = build_via_server(base, p, "127.0.0.1", srv.port)
+        assert ix.size == 20
+
+
+def test_pq_build_via_server(rng):
+    from lantern_tpu.quant import train_codebook
+
+    base = rng.standard_normal((400, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=32, pq=True,
+                   num_centroids=16, num_subvectors=4)
+    cb = train_codebook(base, num_subvectors=4, num_centroids=16, iters=10)
+    srv = IndexServer(port=0, status_port=None)
+    with _ServerThread(srv):
+        ix = build_via_server(base, p, "127.0.0.1", srv.port, codebook=cb)
+        assert ix.size == 400
+        assert ix._codebook is not None
+        np.testing.assert_allclose(ix._codebook.centroids, cb.centroids, rtol=1e-6)
+        d, labels = ix.search(base[:4], k=3, ef=32)
+        assert labels.shape == (4, 3)
+
+
+def test_hamming_build_via_server(rng):
+    packed = rng.integers(0, 2**32, size=(200, 2), dtype=np.uint32)
+    p = HnswParams(dim=64, m=8, ef_construction=32, metric=Metric.HAMMING,
+                   quant=QuantKind.B1)
+    srv = IndexServer(port=0, status_port=None)
+    with _ServerThread(srv):
+        ix = build_via_server(packed, p, "127.0.0.1", srv.port)
+        assert ix.size == 200
+        d, labels = ix.search(packed[:2], k=1, ef=16)
+        assert (d[:, 0] == 0).all()
