@@ -27,3 +27,4 @@ from lantern_tpu.config import (  # noqa: F401
     HnswParams,
     SearchParams,
 )
+from lantern_tpu.index import Index  # noqa: F401

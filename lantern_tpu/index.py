@@ -185,6 +185,31 @@ class Index:
         d, ids, labels = search_batched(self.device_graph, q, k=k, ef=max(ef, k))
         return np.asarray(d), join_labels(np.asarray(labels))
 
+    def search_streaming(self, query: np.ndarray, ef: int | None = None,
+                         init_k: int = 10):
+        """Generator yielding (dist, label) in ascending order, re-searching
+        with doubled k whenever the consumer wants more rows — the
+        reference's streaming scan semantics (scan.c:240-292: start at
+        lantern_hnsw.init_k, double on exhaustion, hard stop at 1000).
+        """
+        from lantern_tpu.config import LDB_SCAN_K_MAX
+
+        k = init_k
+        emitted = 0
+        while True:
+            d, labels = self.search(query, k=min(k, LDB_SCAN_K_MAX), ef=max(ef or self.params.ef, k))
+            rows = [
+                (float(dd), int(ll))
+                for dd, ll in zip(d[0], labels[0])
+                if np.isfinite(dd)
+            ]
+            for row in rows[emitted:]:
+                yield row
+            emitted = len(rows)
+            if k >= LDB_SCAN_K_MAX or emitted < k:
+                return  # exhausted the reachable live set or hit the cap
+            k = min(k * 2, LDB_SCAN_K_MAX)
+
     def search_cpu(self, query: np.ndarray, k: int = 10, ef: int | None = None):
         """Single-query search on the host engine (reference execution model)."""
         ids, d = self._eng.search(np.asarray(query), k=k, ef=ef or self.params.ef)

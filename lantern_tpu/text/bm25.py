@@ -1,0 +1,145 @@
+"""BM25 full-text scoring — parity with lantern_extras bm25 (X4).
+
+Reference: an inverted index as a plain table
+``<t>_bm25(term, term_freq, doc_ids[], fqs[], doc_lens[], doc_ids_bloom)``
+built by create_bm25_table (bm25_api.sql:1-59), scored by the bm25_agg
+aggregate / search_bm25; popular terms (doc count > approximation threshold,
+default 8000) are approximated: fq≈1, doc_len≈avgdl, membership via the
+bloom filter (bm25_agg.rs:103-119, lib.rs:141-150). Defaults k1=1.2, b=0.75.
+
+Same structure here: Bm25Index holds per-term postings (doc ids, term
+frequencies) + per-doc lengths + blooms for popular terms; scoring is
+vectorized numpy over postings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lantern_tpu.text.bloom import Bloom
+from lantern_tpu.text.stemmer import DEFAULT_STOPWORDS, text_to_stem_array
+
+DEFAULT_K1 = 1.2          # lantern_extras.bm25_default_k1
+DEFAULT_B = 0.75          # lantern_extras.bm25_default_b
+DEFAULT_APPROX_THRESHOLD = 8000  # bm25_default_approximation_threshhold
+
+
+@dataclasses.dataclass
+class _Posting:
+    doc_ids: np.ndarray   # [n] int64
+    fqs: np.ndarray       # [n] int32
+    bloom: Bloom | None   # set for popular terms
+
+
+class Bm25Index:
+    """Inverted index + BM25 scoring over tokenized documents."""
+
+    def __init__(self, k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                 approximation_threshold: int = DEFAULT_APPROX_THRESHOLD,
+                 stopwords=DEFAULT_STOPWORDS, stem: bool = True):
+        self.k1 = k1
+        self.b = b
+        self.approx_threshold = approximation_threshold
+        self.stopwords = stopwords
+        self.stem = stem
+        self.postings: dict[str, _Posting] = {}
+        self.doc_lens: dict[int, int] = {}
+        self.num_docs = 0
+        self.avgdl = 0.0
+
+    def _tokens(self, text: str) -> list[str]:
+        if self.stem:
+            return text_to_stem_array(text, self.stopwords)
+        import re
+
+        return [t for t in re.findall(r"[a-z0-9']+", text.lower())
+                if t not in (self.stopwords or ())]
+
+    # ---- build (create_bm25_table analog) ----
+    def add_documents(self, docs: dict[int, str] | list[str]):
+        if isinstance(docs, list):
+            docs = {i: d for i, d in enumerate(docs)}
+        term_docs: dict[str, dict[int, int]] = {}
+        for doc_id, text in docs.items():
+            toks = self._tokens(text)
+            self.doc_lens[doc_id] = self.doc_lens.get(doc_id, 0) + len(toks)
+            for t in toks:
+                term_docs.setdefault(t, {}).setdefault(doc_id, 0)
+                term_docs[t][doc_id] += 1
+        for term, dmap in term_docs.items():
+            old = self.postings.get(term)
+            if old is not None:
+                for i, d in enumerate(old.doc_ids):
+                    dmap[int(d)] = dmap.get(int(d), 0) + int(old.fqs[i])
+            ids = np.array(sorted(dmap), np.int64)
+            fqs = np.array([dmap[int(i)] for i in ids], np.int32)
+            bloom = None
+            if len(ids) > self.approx_threshold:
+                bloom = Bloom.from_array(ids.astype(np.uint64))
+            self.postings[term] = _Posting(ids, fqs, bloom)
+        self.num_docs = len(self.doc_lens)
+        self.avgdl = (
+            float(np.mean(list(self.doc_lens.values()))) if self.doc_lens else 0.0
+        )
+        return self
+
+    # ---- scoring ----
+    def _idf(self, df: int) -> float:
+        return float(np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5)))
+
+    def score(self, query: str, doc_ids: np.ndarray | None = None) -> dict[int, float]:
+        """BM25 scores for docs matching the query terms (bm25_agg analog)."""
+        terms = self._tokens(query)
+        scores: dict[int, float] = {}
+        lens = self.doc_lens
+        for t in set(terms):
+            post = self.postings.get(t)
+            if post is None:
+                continue
+            df = len(post.doc_ids)
+            idf = self._idf(df)
+            if post.bloom is not None and doc_ids is not None:
+                # popular-term approximation (bm25_agg.rs:103-119):
+                # fq ~= 1, doc_len ~= avgdl, membership via bloom
+                members = post.bloom.contains(np.asarray(doc_ids, np.uint64))
+                denom = 1.0 + self.k1  # fq=1, dl=avgdl -> norm term = 1
+                s = idf * (1.0 * (self.k1 + 1.0)) / denom
+                for d, is_m in zip(np.asarray(doc_ids), members):
+                    if is_m:
+                        scores[int(d)] = scores.get(int(d), 0.0) + s
+                continue
+            dl = np.array([lens.get(int(d), 0) for d in post.doc_ids], np.float32)
+            norm = self.k1 * (1.0 - self.b + self.b * dl / max(self.avgdl, 1e-9))
+            s = idf * post.fqs * (self.k1 + 1.0) / (post.fqs + norm)
+            for d, sc in zip(post.doc_ids, s):
+                scores[int(d)] = scores.get(int(d), 0.0) + float(sc)
+        if doc_ids is not None:
+            allowed = set(int(x) for x in np.asarray(doc_ids))
+            scores = {d: s for d, s in scores.items() if d in allowed}
+        return scores
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), descending (search_bm25 analog)."""
+        scores = self.score(query)
+        return sorted(scores.items(), key=lambda kv: -kv[1])[:k]
+
+    # ---- persistence (the reference's table is just rows; same idea) ----
+    def save(self, path: str):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Bm25Index":
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def create_bm25_table(docs, **kw) -> Bm25Index:
+    """create_bm25_table SQL fn analog."""
+    return Bm25Index(**kw).add_documents(docs)
