@@ -1,9 +1,15 @@
 """Headline benchmark: batched HNSW search QPS on TPU vs native CPU engine.
 
 Methodology (BASELINE.md): the reference publishes no numbers, so the
-baseline is the CPU HNSW engine (the same role usearch plays for Lantern)
-measured in this very run at identical (M, ef_construction, ef) and equal
-recall target. vs_baseline = TPU QPS / CPU QPS (target >= 10x per chip).
+baseline is the CPU HNSW engine (the role usearch plays for Lantern),
+measured in this run on the IDENTICAL graph at identical (M,
+ef_construction, ef). vs_baseline = TPU QPS / CPU QPS (target >= 10x/chip).
+
+Pipeline: synthetic data generated on device (host<->device transfers ride a
+slow tunnel in this environment), graph built by the TPU batched builder,
+TPU QPS measured device-resident; the same graph is exported to the native
+C++ engine for the per-query CPU baseline; recall measured vs the exact
+oracle over the same stored vectors.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -18,55 +24,52 @@ import numpy as np
 
 
 def main():
-    # allow quick local runs: BENCH_N / BENCH_Q / BENCH_EF overrides
     n = int(os.environ.get("BENCH_N", 100_000))
     dim = int(os.environ.get("BENCH_DIM", 128))
     q = int(os.environ.get("BENCH_Q", 1024))
     ef = int(os.environ.get("BENCH_EF", 64))
-    efc = int(os.environ.get("BENCH_EFC", 64))
+    efc = int(os.environ.get("BENCH_EFC", 128))
     m = int(os.environ.get("BENCH_M", 16))
+    build_batch = int(os.environ.get("BENCH_BUILD_BATCH", 1024))
     k = 10
+
+    import ctypes
 
     import jax
     import jax.numpy as jnp
 
     from lantern_tpu.config import HnswParams
-    from lantern_tpu.graph import search_batched, to_device
-    from lantern_tpu.native import NativeHnsw
+    from lantern_tpu.graph.build_device import build_on_device
+    from lantern_tpu.graph.search import search_batched
+    from lantern_tpu.native import LMAX, NativeHnsw, get_lib
     from lantern_tpu.ops import exact_search
 
-    rng = np.random.default_rng(0)
-    base = rng.standard_normal((n, dim)).astype(np.float32)
-    queries_np = rng.standard_normal((q, dim)).astype(np.float32)
-
     params = HnswParams(dim=dim, m=m, ef_construction=efc)
-    ix = NativeHnsw(params, capacity=n, seed=0)
+    key = jax.random.PRNGKey(0)
+    base = jax.random.normal(key, (n, dim), jnp.float32)
+    queries = jax.random.normal(jax.random.PRNGKey(7), (q, dim), jnp.float32)
+    jax.block_until_ready((base, queries))
+
+    # ---- TPU build ----
     t0 = time.perf_counter()
-    ix.add(base, nthreads=0)
+    g = build_on_device(base, params, batch=build_batch, seed=0)
+    jax.block_until_ready(g.neighbors0)
     build_s = time.perf_counter() - t0
 
-    # CPU baseline QPS (single query loop, the reference's execution model)
-    n_cpu = min(q, 200)
-    t0 = time.perf_counter()
-    for i in range(n_cpu):
-        ix.search(queries_np[i], k=k, ef=ef)
-    cpu_qps = n_cpu / (time.perf_counter() - t0)
-
-    # TPU batched QPS
-    graph = to_device(ix)
-    queries = jnp.asarray(queries_np)
-    d, ids, _ = search_batched(graph, queries, k=k, ef=ef)
+    # ---- TPU batched QPS ----
+    d, ids, _ = search_batched(g, queries, k=k, ef=ef)
     jax.block_until_ready(d)  # compile
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        d, ids, _ = search_batched(graph, queries, k=k, ef=ef)
+        d, ids, _ = search_batched(g, queries, k=k, ef=ef)
         jax.block_until_ready(d)
     tpu_qps = q * iters / (time.perf_counter() - t0)
 
-    # recall parity vs exact oracle
-    _, true_ids = exact_search(queries[:256], jnp.asarray(base), k=k)
-    ids_np, true_np = np.asarray(ids[:256]), np.asarray(true_ids)
+    # ---- recall vs exact oracle over the same stored vectors ----
+    nq_r = min(q, 256)
+    _, true_ids = exact_search(queries[:nq_r], g.vectors, k=k)
+    ids_np, true_np = np.asarray(ids[:nq_r]), np.asarray(true_ids)
     recall = float(
         np.mean(
             [
@@ -75,6 +78,38 @@ def main():
             ]
         )
     )
+
+    # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
+    ix = NativeHnsw(params, capacity=n, seed=0)
+    lib = get_lib()
+    nb0 = np.asarray(g.neighbors0[:n])
+    counts0 = (nb0 >= 0).sum(1).astype(np.int32)
+    up = np.asarray(g.upper_neighbors)
+    slots = np.asarray(g.upper_slot[:n])
+    used = slots[slots >= 0]
+    n_upper = int(used.max()) + 1 if used.size else 1
+    args = [
+        np.ascontiguousarray(np.asarray(g.vectors[:n]), np.float32),
+        np.ascontiguousarray(nb0, np.int32),
+        np.ascontiguousarray(counts0, np.int32),
+        np.ascontiguousarray(up[:n_upper], np.int32),
+        np.ascontiguousarray((up[:n_upper] >= 0).sum(-1), np.int32),
+        np.ascontiguousarray(slots, np.int32),
+        np.ascontiguousarray(np.asarray(g.levels[:n]), np.int32),
+        np.arange(n, dtype=np.uint64),
+        np.zeros(n, np.uint8),
+    ]
+    rc = lib.ldb_index_import(
+        ix._h, n, n_upper, int(g.entry), int(g.max_level),
+        *[a.ctypes.data_as(ctypes.c_void_p) for a in args],
+    )
+    assert rc == 0, "graph export to native engine failed"
+    del LMAX
+    q_np = np.asarray(queries[:200])
+    t0 = time.perf_counter()
+    for i in range(len(q_np)):
+        ix.search(q_np[i], k=k, ef=ef)
+    cpu_qps = len(q_np) / (time.perf_counter() - t0)
 
     print(
         json.dumps(
@@ -86,6 +121,7 @@ def main():
                 "cpu_qps": round(cpu_qps, 1),
                 "recall_at_10": round(recall, 4),
                 "build_s": round(build_s, 1),
+                "build_inserts_per_s": round(n / build_s, 1),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -402,8 +402,13 @@ def build_on_device(
     metric = Metric(params.metric)
     if metric == Metric.HAMMING:
         raise NotImplementedError("device build supports l2sq/cos; build hamming on host")
-    vectors = np.ascontiguousarray(vectors, np.float32)
-    n, dim = vectors.shape
+    if isinstance(vectors, jax.Array):
+        # device-resident input: no host round trip (host<->device transfers
+        # are the expensive path; level draws below don't need the data)
+        vec_dev = vectors.astype(jnp.float32)
+    else:
+        vec_dev = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+    n, dim = vec_dev.shape
     m = params.m
     max_in = max_in or max(4, m // 2)
     batch = min(batch, n)
@@ -419,10 +424,11 @@ def build_on_device(
     upper_slot[has_upper] = np.arange(int(has_upper.sum()), dtype=np.int32)
     ucap = int(has_upper.sum()) + 1  # +1 dummy slot for masked writes
 
-    sq = np.einsum("nd,nd->n", vectors, vectors).astype(np.float32)
+    sq = jnp.einsum("nd,nd->n", vec_dev, vec_dev,
+                    preferred_element_type=jnp.float32)
     st = BuildState(
-        vectors=jnp.asarray(vectors),
-        sq_norms=jnp.asarray(sq),
+        vectors=vec_dev,
+        sq_norms=sq,
         neighbors0=jnp.full((n + 1, 2 * m), -1, jnp.int32),
         upper_neighbors=jnp.full((ucap, LMAX, m), -1, jnp.int32),
         upper_slot=jnp.asarray(upper_slot),

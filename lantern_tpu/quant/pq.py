@@ -150,8 +150,19 @@ def adc_distances(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """Sum LUT entries for candidate codes.
 
     lut [Q, S, K], codes [Q, C, S] -> partial-distance sums [Q, C] f32.
+
+    TPU-first formulation: instead of Q*C*S scalar LUT gathers (terrible HBM
+    granularity), expand codes to one-hot and contract on the MXU:
+        dist[q, c] = sum_{s,k} onehot(codes[q,c,s])[k] * lut[q,s,k]
+    The K-fold FLOP blowup is free next to the gather it replaces (the
+    Quick-ADC insight mapped to a systolic array).
     """
     q, s, k = lut.shape
-    qi = jnp.arange(q)[:, None, None]
-    si = jnp.arange(s)[None, None, :]
-    return jnp.sum(lut[qi, si, codes], axis=-1)
+    oh = jax.nn.one_hot(codes, k, dtype=jnp.bfloat16)  # [Q, C, S, K]
+    c = codes.shape[1]
+    return jax.lax.dot_general(
+        oh.reshape(q, c, s * k),
+        lut.reshape(q, s * k),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
