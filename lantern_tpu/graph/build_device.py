@@ -386,6 +386,24 @@ def insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     return _insert_round(st, ids, level_ids, efc, max_in)
 
 
+def ramped_batches(n: int, batch: int, min_batch: int = 32):
+    """Round schedule (start, size): rounds ramp 4x from ``min_batch`` so a
+    round never exceeds ~1/4 of the already-built graph (small graphs get
+    small rounds — batch staleness is what costs recall early — while large
+    graphs run at full ``batch``). Only log4(batch) distinct sizes compile.
+    """
+    pos = 0
+    while pos < n:
+        b = min_batch
+        while b * 4 <= batch and b * 4 <= max(pos, min_batch) // 4:
+            b *= 4
+        if batch <= max(pos, min_batch) // 4:
+            b = batch  # graph is big enough for the full round size
+        b = min(b, batch)
+        yield pos, min(b, n - pos), b  # (start, live count, padded round size)
+        pos += min(b, n - pos)
+
+
 def build_on_device(
     vectors: np.ndarray,
     params: HnswParams,
@@ -426,6 +444,7 @@ def build_on_device(
 
     sq = jnp.einsum("nd,nd->n", vec_dev, vec_dev,
                     preferred_element_type=jnp.float32)
+    first = next(ramped_batches(n, batch))[1]  # first round's live count
     st = BuildState(
         vectors=vec_dev,
         sq_norms=sq,
@@ -433,8 +452,8 @@ def build_on_device(
         upper_neighbors=jnp.full((ucap, LMAX, m), -1, jnp.int32),
         upper_slot=jnp.asarray(upper_slot),
         levels=jnp.asarray(levels),
-        entry=jnp.asarray(int(np.argmax(levels[:batch])), jnp.int32),
-        max_level=jnp.asarray(int(levels[:batch].max()), jnp.int32),
+        entry=jnp.asarray(int(np.argmax(levels[:first])), jnp.int32),
+        max_level=jnp.asarray(int(levels[:first].max()), jnp.int32),
         n=jnp.asarray(0, jnp.int32),
         m=m,
         dim=dim,
@@ -458,12 +477,9 @@ def build_on_device(
     # always pass the full level tuple: nearly every round contains a node of
     # near-max level anyway, and a single static level count means ONE compile
     level_tuple = tuple(level_id_arrays)
-    pos = 0
-    while pos < n:
-        end = min(pos + batch, n)
-        ids = np.arange(pos, end, dtype=np.int32)
-        if len(ids) < batch:
-            ids = np.concatenate([ids, np.full(batch - len(ids), -1, np.int32)])
+    for start, live, size in ramped_batches(n, batch):
+        ids = np.full(size, -1, np.int32)
+        ids[:live] = np.arange(start, start + live, dtype=np.int32)
         st = insert_round(
             st,
             jnp.asarray(ids),
@@ -471,7 +487,6 @@ def build_on_device(
             efc=params.ef_construction,
             max_in=max_in,
         )
-        pos = end
 
     if labels is None:
         labels_np = np.arange(n, dtype=np.uint64)

@@ -1,6 +1,7 @@
 from lantern_tpu.parallel.sharded import (  # noqa: F401
     ShardedIndex,
     build_sharded,
+    build_sharded_device,
     make_mesh,
     search_sharded,
 )

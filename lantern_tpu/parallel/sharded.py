@@ -196,6 +196,155 @@ def search_sharded(
     return out_d, out_gid, out_lab
 
 
+def build_sharded_device(
+    vectors: np.ndarray,
+    params: HnswParams,
+    mesh: Mesh,
+    batch: int = 256,
+    seed: int = 0,
+    labels: np.ndarray | None = None,
+    max_in: int | None = None,
+) -> ShardedIndex:
+    """Build all shard subgraphs IN PARALLEL on the mesh's devices.
+
+    The TPU analog of the reference's external indexing *fleet* (router +
+    N indexing servers each building a partition): the batched insert round
+    (graph/build_device.py) is vmapped over the shard axis, so with the
+    stacked build state sharded P("shard") every device executes its own
+    round concurrently — S devices build S subgraphs in the wall-clock of
+    one. No cross-device traffic during build (subgraphs are independent);
+    search later pays one top-k merge collective (search_sharded).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from lantern_tpu.config import Metric
+    from lantern_tpu.graph.build_device import BuildState, _insert_round
+    from lantern_tpu.graph.host_build import LMAX
+
+    metric = Metric(params.metric)
+    if metric == Metric.HAMMING:
+        raise NotImplementedError("device build supports l2sq/cos")
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    n, dim = vectors.shape
+    s = mesh.shape["shard"]
+    if n < s:
+        raise ValueError(f"need at least one vector per shard ({n} < {s})")
+    m = params.m
+    max_in = max_in or max(4, m // 2)
+    if labels is None:
+        labels = np.arange(n, dtype=np.uint64)
+
+    part = [np.arange(si, n, s) for si in range(s)]
+    nmax = max(len(pp) for pp in part)
+    batch = min(batch, nmax)
+
+    rng = np.random.default_rng(seed)
+    lvl_np = np.zeros((s, nmax), np.int32)
+    slot_np = np.full((s, nmax), -1, np.int32)
+    vec_np = np.zeros((s, nmax, dim), np.float32)
+    gid_np = np.full((s, nmax + 1), -1, np.int32)
+    lab_np = np.zeros((s, nmax), np.uint64)
+    n_upper_max = 1
+    for si, ids in enumerate(part):
+        ni = len(ids)
+        vec_np[si, :ni] = vectors[ids]
+        gid_np[si, :ni] = ids
+        lab_np[si, :ni] = labels[ids]
+        u = np.maximum(rng.random(ni), 1e-300)
+        lv = np.minimum((-np.log(u) * params.level_lambda).astype(np.int64), LMAX)
+        lvl_np[si, :ni] = lv
+        has = lv >= 1
+        slot_np[si, :ni][has] = np.arange(int(has.sum()), dtype=np.int32)
+        n_upper_max = max(n_upper_max, int(has.sum()))
+    ucap = n_upper_max + 1  # + dummy slot
+
+    # per-level id lists, padded to a common static size across shards
+    global_max_lvl = int(lvl_np.max())
+    level_arrays = []
+    for lvl in range(1, global_max_lvl + 1):
+        sizes = [(lvl_np[si] >= lvl).sum() for si in range(s)]
+        size = max(8, 1 << int(np.ceil(np.log2(max(max(sizes), 1)))))
+        arr = np.full((s, size), -1, np.int32)
+        for si in range(s):
+            lids = np.nonzero(lvl_np[si] >= lvl)[0].astype(np.int32)
+            arr[si, : len(lids)] = lids
+        level_arrays.append(arr)
+
+    def put(x, spec=P("shard")):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    sq = np.einsum("snd,snd->sn", vec_np, vec_np).astype(np.float32)
+    from lantern_tpu.graph.build_device import ramped_batches
+
+    first = next(ramped_batches(nmax, batch))[1]
+    entry0 = np.array(
+        [int(np.argmax(lvl_np[si, : min(first, len(part[si]))])) for si in range(s)],
+        np.int32,
+    )
+    maxl0 = np.array(
+        [int(lvl_np[si, : min(first, len(part[si]))].max()) for si in range(s)],
+        np.int32,
+    )
+    st = BuildState(
+        vectors=put(vec_np),
+        sq_norms=put(sq),
+        neighbors0=put(np.full((s, nmax + 1, 2 * m), -1, np.int32)),
+        upper_neighbors=put(np.full((s, ucap, LMAX, m), -1, np.int32)),
+        upper_slot=put(slot_np),
+        levels=put(lvl_np),
+        entry=put(entry0),
+        max_level=put(maxl0),
+        n=put(np.zeros(s, np.int32)),
+        m=m,
+        dim=dim,
+        metric=int(metric),
+    )
+    level_tuple_dev = tuple(put(a) for a in level_arrays)
+
+    round_fn = jax.jit(
+        jax.vmap(
+            functools.partial(_insert_round, efc=params.ef_construction, max_in=max_in),
+            in_axes=(0, 0, 0),
+        ),
+        donate_argnums=(0,),
+    )
+
+    from lantern_tpu.graph.build_device import ramped_batches
+
+    for pos, live, size in ramped_batches(nmax, batch):
+        end = pos + live
+        ids = np.full((s, size), -1, np.int32)
+        for si in range(s):
+            hi = min(end, len(part[si]))
+            if hi > pos:
+                ids[si, : hi - pos] = np.arange(pos, hi, dtype=np.int32)
+        st = round_fn(st, put(ids), level_tuple_dev)
+
+    from lantern_tpu.graph.device import split_labels
+
+    lab_pairs = split_labels(lab_np.reshape(-1)).reshape(s, nmax, 2)
+    deleted = gid_np[:, :nmax] < 0  # padding slots tombstoned
+    graphs = DeviceGraph(
+        vectors=st.vectors,
+        sq_norms=st.sq_norms,
+        neighbors0=st.neighbors0,
+        upper_neighbors=st.upper_neighbors,
+        upper_slot=st.upper_slot,
+        levels=st.levels,
+        labels=put(lab_pairs),
+        deleted=put(deleted),
+        entry=st.entry,
+        max_level=st.max_level,
+        num_nodes=put(np.array([len(pp) for pp in part], np.int32)),
+        m=m,
+        dim=dim,
+        metric=int(metric),
+    )
+    return ShardedIndex(graphs=graphs, global_ids=put(gid_np))
+
+
 @dataclasses.dataclass
 class ShardedSearchStats:
     """Static description of the sharded program (for planning/costing)."""

@@ -80,3 +80,30 @@ def test_sharded_small_n():
     np.testing.assert_array_equal(np.asarray(gids)[:, 0], [0, 1, 2])
     with pytest.raises(ValueError):
         build_sharded(base[:4], p, mesh)
+
+
+def test_build_sharded_device_parallel():
+    """All-shard parallel device build (external-index fleet analog)."""
+    import jax.numpy as jnp
+
+    from lantern_tpu.parallel import build_sharded_device
+
+    rng = np.random.default_rng(40)
+    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix = build_sharded_device(base, p, mesh, batch=128, seed=0)
+    assert ix.graphs.vectors.sharding.spec[0] == "shard"
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    d, gids, labels = search_sharded(ix, jnp.array(queries), k=10, ef=48)
+    _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
+    rec = _recall(np.asarray(gids), np.asarray(true_ids))
+    assert rec >= 0.88, f"parallel device build recall {rec}"
+    # labels are global ids here
+    joined = join_labels(np.asarray(labels))
+    gids_np = np.asarray(gids)
+    ok = gids_np >= 0
+    np.testing.assert_array_equal(joined[ok].astype(np.int64), gids_np[ok])
+    # self queries hit themselves
+    d2, g2, _ = search_sharded(ix, jnp.array(base[:8]), k=1, ef=16)
+    np.testing.assert_array_equal(np.asarray(g2)[:, 0], np.arange(8))
