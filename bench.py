@@ -36,6 +36,18 @@ def main():
     import ctypes
 
     import jax
+
+    # persistent compilation cache: compiles through this environment's
+    # remote-compile tunnel cost ~1 min each; cache them across runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/lantern_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
+
     import jax.numpy as jnp
 
     from lantern_tpu.config import HnswParams

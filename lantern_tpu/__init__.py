@@ -21,6 +21,23 @@ A brand-new JAX/XLA/Pallas re-design of the capabilities of Lantern
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: every distinct program shape costs a slow
+# compile in TPU environments (a remote-compile tunnel here); caching across
+# processes makes bench/service restarts cheap. Disable: LANTERN_TPU_JAX_CACHE=0.
+if _os.environ.get("LANTERN_TPU_JAX_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_CACHE_DIR", "/tmp/lantern_tpu_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — never block import on cache setup
+        pass
+
 from lantern_tpu.config import (  # noqa: F401
     Metric,
     QuantKind,

@@ -151,7 +151,9 @@ def _dedup_fresh(ids, fresh):
     return jnp.logical_and(fresh, jnp.logical_not(dup))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ef", "expand", "max_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "expand", "max_iters", "with_stats")
+)
 def search_batched(
     graph: DeviceGraph,
     queries: jax.Array,
@@ -159,11 +161,17 @@ def search_batched(
     ef: int = 64,
     expand: int = 1,
     max_iters: int | None = None,
+    with_stats: bool = False,
 ):
     """Batched k-NN search. queries [Q, width] -> (dists, ids, labels) [Q, k].
 
     Invalid result slots (fewer than k reachable live nodes) have id -1,
     dist +inf, label 0.
+
+    ``with_stats=True`` appends a stats dict — per-query visited/expanded
+    node counts and the loop iteration count — the debugging surface the
+    reference exposes via lantern.masked_explain + ldb_dlog cost dumps
+    (lantern.sql:858-901, hnsw.c:202-208).
     """
     ef = max(ef, k)
     if max_iters is None:
@@ -246,7 +254,7 @@ def search_batched(
         expanded = jnp.take_along_axis(cat_exp, arg, axis=1)
         return beam_d, beam_ids, expanded, visited, it + 1
 
-    beam_d, beam_ids, expanded, visited, _ = jax.lax.while_loop(
+    beam_d, beam_ids, expanded, visited, iters_done = jax.lax.while_loop(
         cond, body, (beam_d, beam_ids, expanded, visited, jnp.int32(0))
     )
 
@@ -265,6 +273,15 @@ def search_batched(
         graph.labels[jnp.clip(out_ids, 0, cap - 1)],
         jnp.uint32(0),
     )  # [Q, k, 2] u32 pairs; join with device.join_labels on host
+    if with_stats:
+        stats = {
+            "iterations": iters_done,
+            "visited": jnp.sum(visited[:, :cap], axis=1).astype(jnp.int32),
+            "expanded": jnp.sum(
+                jnp.logical_and(expanded, beam_ids >= 0), axis=1
+            ).astype(jnp.int32),
+        }
+        return out_d, out_ids, out_labels, stats
     return out_d, out_ids, out_labels
 
 

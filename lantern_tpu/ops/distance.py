@@ -151,6 +151,7 @@ def exact_search(
     n = base.shape[0]
     q = queries.shape[0]
     k = min(k, n)
+    block = min(block, n)
     nblocks = -(-n // block)
     pad_n = nblocks * block
     if pad_n != n:
@@ -162,10 +163,15 @@ def exact_search(
         start = i * block
         blk = jax.lax.dynamic_slice_in_dim(base, start, block, axis=0)
         d = pairwise_dist(queries, blk, metric)  # [Q, block]
-        ids = start + jax.lax.broadcasted_iota(jnp.int32, (q, block), 1)
-        valid = ids < n
-        d = jnp.where(valid, d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
+        # mask padded tail rows, then block-local top-k and a tiny [Q, 2k]
+        # merge — keeps the compiled program small ([1, block] iota instead
+        # of [Q, k+block] concatenated index constants)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        d = jnp.where(start + col < n, d, jnp.inf)
+        neg, loc = jax.lax.top_k(-d, k)
+        ids = start + loc
+        bd = -neg
+        cat_d = jnp.concatenate([best_d, bd], axis=1)
         cat_i = jnp.concatenate([best_i, ids], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)
         return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None

@@ -170,3 +170,17 @@ def test_single_node_and_tiny_graphs():
     g = to_device(h)
     d, ids, _ = search_batched(g, jnp.array(np.eye(4, dtype=np.float32)[:1]), k=3, ef=8)
     assert np.asarray(ids)[0, 0] == 0
+
+
+def test_search_stats(built_l2):
+    """masked_explain analog: per-query search statistics."""
+    h, base = built_l2
+    rng = np.random.default_rng(99)
+    g = to_device(h)
+    q = jnp.array(rng.standard_normal((4, 32)).astype(np.float32))
+    d, ids, labels, stats = search_batched(g, q, k=5, ef=32, with_stats=True)
+    assert int(stats["iterations"]) > 0
+    vis = np.asarray(stats["visited"])
+    exp = np.asarray(stats["expanded"])
+    assert (vis >= exp).all() and (exp >= 1).all()
+    assert (vis <= h.n).all()
