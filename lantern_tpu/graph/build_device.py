@@ -193,6 +193,15 @@ def _scatter_reverse(
         incoming = inc[lrow]                  # [L, max_in]
         cand = jnp.concatenate([old, incoming], axis=1)  # [L, c2]
         cvalid = jnp.logical_and(cand >= 0, active[:, None])
+        # dedup: within-batch mutual selection can put an incomer that is
+        # already a forward neighbor (t chose s AND s chose t in one round);
+        # keep only the first occurrence of each id
+        eq = cand[:, :, None] == cand[:, None, :]          # [L, c2, c2]
+        lower = jnp.tril(jnp.ones((cand.shape[1], cand.shape[1]), bool), k=-1)
+        dup = jnp.any(
+            eq & lower[None, :, :] & cvalid[:, None, :], axis=2
+        )
+        cvalid = jnp.logical_and(cvalid, jnp.logical_not(dup))
         cand_c = jnp.where(cvalid, cand, 0)
         t_safe = jnp.where(active, lt, 0)
         tvec = all_vectors[t_safe]

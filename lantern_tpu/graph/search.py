@@ -201,7 +201,13 @@ def search_batched(
     beam_d = jnp.full((q, ef), _INF).at[:, 0].set(entry_d)
     beam_ids = jnp.full((q, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
     expanded = jnp.zeros((q, ef), bool)
-    visited = jnp.zeros((q, cap + 1), bool).at[rowq[:, 0], entry_ids].set(True)
+    # visited set: BIT-PACKED [Q, ceil((cap+1)/32)] u32 — 8x smaller than a
+    # byte mask, so the per-iteration read-modify-write stays cheap at
+    # multi-million-node caps (id `cap` is the spill bit for masked lanes)
+    vwords = (cap + 1 + 31) // 32
+    visited = jnp.zeros((q, vwords), jnp.uint32).at[
+        rowq[:, 0], entry_ids >> 5
+    ].set(jnp.uint32(1) << (entry_ids & 31).astype(jnp.uint32))
 
     def active_mask(beam_d, beam_ids, expanded):
         valid = beam_ids >= 0
@@ -235,11 +241,25 @@ def search_batched(
         nbrs = graph.neighbors0[exp_ids].reshape(q, c)
         valid = nbrs >= 0
         nbrs_c = jnp.where(valid, nbrs, cap)
-        seen = jnp.take_along_axis(visited, nbrs_c, axis=1)
+        words = nbrs_c >> 5                                   # [Q, C]
+        bits = jnp.uint32(1) << (nbrs_c & 31).astype(jnp.uint32)
+        old = jnp.take_along_axis(visited, words, axis=1)     # [Q, C] u32
+        seen = (old & bits) != 0
         fresh = jnp.logical_and(valid, jnp.logical_not(seen))
-        if expand > 1:
-            fresh = _dedup_fresh(nbrs, fresh)
-        visited = visited.at[rowq, jnp.where(fresh, nbrs_c, cap)].set(True)
+        # dedup unconditionally: expanded nodes can share neighbors
+        # (expand>1) and imported graphs may carry duplicate adjacency
+        # entries — a duplicate candidate would enter the beam twice
+        fresh = _dedup_fresh(nbrs, fresh)
+        # conflict-free bit scatter: several candidates can share a word, so
+        # each position writes the OR of ALL same-word fresh bits (identical
+        # value per word -> duplicate-index scatter is deterministic);
+        # distinct fresh ids have distinct bits, so sum == OR
+        contrib = jnp.where(fresh, bits, jnp.uint32(0))
+        same_word = words[:, :, None] == words[:, None, :]
+        combined = jnp.sum(
+            jnp.where(same_word, contrib[:, None, :], jnp.uint32(0)), axis=2
+        )
+        visited = visited.at[rowq, words].set(old | combined)
 
         d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)
@@ -276,7 +296,7 @@ def search_batched(
     if with_stats:
         stats = {
             "iterations": iters_done,
-            "visited": jnp.sum(visited[:, :cap], axis=1).astype(jnp.int32),
+            "visited": jnp.sum(_popcount_u32(visited), axis=1).astype(jnp.int32),
             "expanded": jnp.sum(
                 jnp.logical_and(expanded, beam_ids >= 0), axis=1
             ).astype(jnp.int32),

@@ -27,6 +27,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped so every test sees the same stream regardless of
+    # execution order (a shared session generator made data order-dependent)
     return np.random.default_rng(0xA47E60DB)  # the reference's header magic
