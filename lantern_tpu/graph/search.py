@@ -49,6 +49,24 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
     from lantern_tpu.graph.device import QUANT_PQ
 
     metric = Metric(graph.metric)
+    if (
+        graph.use_pallas
+        and graph.vec_scales is None
+        and graph.quant != QUANT_PQ
+        and metric != Metric.HAMMING
+    ):
+        # fused DMA gather + distance (no [Q, C, d] HBM intermediate)
+        from lantern_tpu.ops.pallas_gather import gather_dists_pallas
+
+        return gather_dists_pallas(
+            graph.vectors,
+            cand_ids,
+            queries,
+            q_sq,
+            metric=int(metric),
+            qb=16,
+            interpret=jax.default_backend() == "cpu",
+        )
     vecs = graph.vectors[cand_ids]  # [Q, C, w] gather (w = S bytes for PQ)
     if graph.quant == QUANT_PQ:
         from lantern_tpu.quant.pq import adc_distances
@@ -136,18 +154,22 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
 
 
 def _dedup_fresh(ids, fresh):
-    """Within-row dedup: keep only the first occurrence of each id."""
+    """Within-row dedup: keep only the first occurrence of each id.
+
+    Sort-with-payload + a tiny one-hot contraction; positional scatters and
+    take_along_axis lower to serialized element ops on TPU (see the op-choice
+    note in search_batched.body).
+    """
     q, c = ids.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
     key = jnp.where(fresh, ids, -1 - iota)  # invalids get unique negatives
-    order = jnp.argsort(key, axis=1)
-    skey = jnp.take_along_axis(key, order, axis=1)
+    skey, spos = jax.lax.sort((key, iota), dimension=1, num_keys=1)
     dup_sorted = jnp.concatenate(
         [jnp.zeros((q, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1
     )
-    dup = jnp.zeros((q, c), bool).at[
-        jnp.arange(q)[:, None], order
-    ].set(dup_sorted)
+    # dup[q, spos[q, j]] = dup_sorted[q, j], via one-hot OR over sorted slots
+    oh = spos[:, :, None] == iota[:, None, :]  # [q, c_sorted, c_orig]
+    dup = jnp.any(jnp.logical_and(oh, dup_sorted[:, :, None]), axis=1)
     return jnp.logical_and(fresh, jnp.logical_not(dup))
 
 
@@ -226,16 +248,27 @@ def search_batched(
         beam_d, beam_ids, expanded, visited, it = state
         act = active_mask(beam_d, beam_ids, expanded)
 
-        # pick `expand` best unexpanded entries per active query
+        # pick `expand` best unexpanded entries per active query.
+        # NOTE on op choice here and below: take_along_axis / positional
+        # scatter on TPU lower to serialized per-element gathers (~170us for
+        # a [256, 96] payload — profiled); multi-operand lax.sort (~6us) and
+        # small one-hot contractions replace them throughout this loop.
         unexp_d = jnp.where(
             jnp.logical_and(beam_ids >= 0, jnp.logical_not(expanded)), beam_d, _INF
         )
         unexp_d = jnp.where(act[:, None], unexp_d, _INF)
-        neg, pos = jax.lax.top_k(-unexp_d, expand)  # [Q, E]
-        sel_valid = jnp.isfinite(neg)
-        expanded = expanded.at[rowq, pos].max(sel_valid)
-        exp_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
-        exp_ids = jnp.where(sel_valid, exp_ids, cap)
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (q, ef), 1)
+        sorted_d, sel_ids, sel_slots = jax.lax.sort(
+            (unexp_d, beam_ids, slot_iota), dimension=1, num_keys=1
+        )
+        sel_valid = jnp.isfinite(sorted_d[:, :expand])
+        exp_ids = jnp.where(sel_valid, sel_ids[:, :expand], cap)
+        # mark selected beam slots expanded via a one-hot OR (no scatter)
+        sel_oh = jnp.logical_and(
+            sel_slots[:, :expand, None] == slot_iota[:, None, :],
+            sel_valid[:, :, None],
+        )
+        expanded = jnp.logical_or(expanded, jnp.any(sel_oh, axis=1))
 
         # gather neighbor lists -> candidate block [Q, C]
         nbrs = graph.neighbors0[exp_ids].reshape(q, c)
@@ -264,14 +297,19 @@ def search_batched(
         d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)
 
-        # merge candidates into beam via top-k over the concatenation
+        # merge candidates into beam: ONE multi-operand sort carries the
+        # payloads (ids, expanded) with the keys — no positional gathers
         cat_d = jnp.concatenate([beam_d, d], axis=1)
         cat_ids = jnp.concatenate([beam_ids, jnp.where(fresh, nbrs, -1)], axis=1)
-        cat_exp = jnp.concatenate([expanded, jnp.zeros((q, c), bool)], axis=1)
-        neg_top, arg = jax.lax.top_k(-cat_d, ef)
-        beam_d = -neg_top
-        beam_ids = jnp.take_along_axis(cat_ids, arg, axis=1)
-        expanded = jnp.take_along_axis(cat_exp, arg, axis=1)
+        cat_exp = jnp.concatenate(
+            [expanded.astype(jnp.int32), jnp.zeros((q, c), jnp.int32)], axis=1
+        )
+        s_d, s_ids, s_exp = jax.lax.sort(
+            (cat_d, cat_ids, cat_exp), dimension=1, num_keys=1
+        )
+        beam_d = s_d[:, :ef]
+        beam_ids = s_ids[:, :ef]
+        expanded = s_exp[:, :ef].astype(bool)
         return beam_d, beam_ids, expanded, visited, it + 1
 
     beam_d, beam_ids, expanded, visited, iters_done = jax.lax.while_loop(
