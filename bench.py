@@ -72,18 +72,39 @@ def main():
     import dataclasses
 
     g_search = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
-    expand = int(os.environ.get("BENCH_EXPAND", 4))
+    expand = int(os.environ.get("BENCH_EXPAND", 2))
     d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
     jax.block_until_ready(d)  # compile
-    iters = 20
+    # distinct query batches per timing iteration: this environment's runtime
+    # short-circuits repeated identical dispatches, which fakes huge QPS
+    # Timing discipline for this environment: block_until_ready is not a
+    # reliable completion barrier through the device tunnel and eager per-op
+    # dispatch is expensive, so the whole measurement is ONE jitted scan over
+    # distinct query batches, completed by a single scalar fetch.
+    iters = 10
+    q_batches = jnp.stack(
+        [
+            jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
+            for i in range(iters)
+        ]
+    )
+
+    @jax.jit
+    def timed_searches(qbs):
+        def body(acc, qb):
+            dd, _, _ = search_batched(g_search, qb, k=k, ef=ef, expand=expand)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(dd), dd, 0)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), qbs)
+        return acc
+
+    _ = float(timed_searches(q_batches))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
-        jax.block_until_ready(d)
+    _ = float(timed_searches(q_batches + 1e-3))
     tpu_qps = q * iters / (time.perf_counter() - t0)
 
     # ---- recall vs exact oracle over the same stored vectors ----
     nq_r = min(q, 256)
+    d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
     _, true_ids = exact_search(queries[:nq_r], g.vectors, k=k)
     ids_np, true_np = np.asarray(ids[:nq_r]), np.asarray(true_ids)
     recall = float(
