@@ -388,12 +388,20 @@ void ldb_index_free(void* h) { delete static_cast<Index*>(h); }
 int64_t ldb_index_add(void* h, int64_t count, const float* vecs,
                       const uint64_t* labels, int32_t nthreads) {
   Index& ix = *static_cast<Index*>(h);
-  int64_t start = ix.n.load();
-  if (start + count > ix.cap) {
-    snprintf(ix.err, sizeof(ix.err),
-             "capacity overflow: n=%lld + add=%lld > cap=%lld",
-             (long long)start, (long long)count, (long long)ix.cap);
-    return -1;
+  // atomically reserve this call's id range so concurrent add() calls from
+  // different host threads never overlap (the parallel-inserter pattern of
+  // the reference's regression schedule, test/parallel_schedule.txt:7-9)
+  int64_t start;
+  for (;;) {
+    start = ix.n.load();
+    if (start + count > ix.cap) {
+      snprintf(ix.err, sizeof(ix.err),
+               "capacity overflow: n=%lld + add=%lld > cap=%lld",
+               (long long)start, (long long)count, (long long)ix.cap);
+      return -1;
+    }
+    int64_t expected = start;
+    if (ix.n.compare_exchange_weak(expected, start + count)) break;
   }
   // pre-draw levels sequentially for determinism w.r.t. insertion order
   std::mt19937_64 rng(ix.seed + (uint64_t)start);
@@ -429,7 +437,8 @@ int64_t ldb_index_add(void* h, int64_t count, const float* vecs,
     for (int t = 0; t < nthreads; t++) ts.emplace_back(worker);
     for (auto& t : ts) t.join();
   }
-  ix.n.store(start + count);
+  // n was reserved up front; nodes in [start, start+count) become reachable
+  // as their links are published (searches traverse links, never n)
   return count;
 }
 
