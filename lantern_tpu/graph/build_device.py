@@ -431,8 +431,10 @@ def build_on_device(
         raise NotImplementedError("device build supports l2sq/cos; build hamming on host")
     if isinstance(vectors, jax.Array):
         # device-resident input: no host round trip (host<->device transfers
-        # are the expensive path; level draws below don't need the data)
-        vec_dev = vectors.astype(jnp.float32)
+        # are the expensive path). Copy on device — the build state is
+        # DONATED through the insert rounds, which would otherwise
+        # invalidate the caller's array.
+        vec_dev = jnp.array(vectors, dtype=jnp.float32, copy=True)
     else:
         vec_dev = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
     n, dim = vec_dev.shape
