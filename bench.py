@@ -89,17 +89,19 @@ def main():
         ]
     )
 
+    # the graph is an ARGUMENT (closure capture would embed it as a compile
+    # constant — multi-GB compile payloads overflow the remote compiler)
     @jax.jit
-    def timed_searches(qbs):
+    def timed_searches(graph, qbs):
         def body(acc, qb):
-            dd, _, _ = search_batched(g_search, qb, k=k, ef=ef, expand=expand)
+            dd, _, _ = search_batched(graph, qb, k=k, ef=ef, expand=expand)
             return acc + jnp.sum(jnp.where(jnp.isfinite(dd), dd, 0)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), qbs)
         return acc
 
-    _ = float(timed_searches(q_batches))  # compile + warm
+    _ = float(timed_searches(g_search, q_batches))  # compile + warm
     t0 = time.perf_counter()
-    _ = float(timed_searches(q_batches + 1e-3))
+    _ = float(timed_searches(g_search, q_batches + 1e-3))
     tpu_qps = q * iters / (time.perf_counter() - t0)
 
     # ---- recall vs exact oracle over the same stored vectors ----

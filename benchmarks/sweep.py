@@ -33,16 +33,16 @@ def _timed_qps(graph, q_batches, k, ef, expand):
     from lantern_tpu.graph.search import search_batched
 
     @jax.jit
-    def run(qbs):
+    def run(graph, qbs):
         def body(acc, qb):
             dd, _, _ = search_batched(graph, qb, k=k, ef=ef, expand=expand)
             return acc + jnp.sum(jnp.where(jnp.isfinite(dd), dd, 0)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), qbs)
         return acc
 
-    float(run(q_batches))  # compile+warm
+    float(run(graph, q_batches))  # compile+warm
     t0 = time.perf_counter()
-    float(run(q_batches + jnp.float32(1e-3) if q_batches.dtype != jnp.uint32 else q_batches))
+    float(run(graph, q_batches + jnp.float32(1e-3) if q_batches.dtype != jnp.uint32 else q_batches))
     dt = time.perf_counter() - t0
     return q_batches.shape[0] * q_batches.shape[1] / dt
 
