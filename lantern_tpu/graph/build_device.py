@@ -413,6 +413,134 @@ def ramped_batches(n: int, batch: int, min_batch: int = 32):
         pos += min(b, n - pos)
 
 
+def device_insert(
+    graph: DeviceGraph,
+    vectors,
+    labels: np.ndarray | None = None,
+    batch: int = 256,
+    seed: int = 0,
+    max_in: int | None = None,
+    ef_construction: int = 128,
+) -> DeviceGraph:
+    """Incrementally insert vectors into an existing DeviceGraph.
+
+    The device analog of ldb_aminsert (insert.c): the same batched insert
+    rounds run against the live graph; arrays grow by doubling when capacity
+    is exhausted (usearch_reserve semantics, build.c:117-126).
+    """
+    import jax.numpy as jnp
+
+    metric = Metric(graph.metric)
+    if metric == Metric.HAMMING or graph.quant not in (0,):
+        raise NotImplementedError("device_insert supports f32 l2sq/cos graphs")
+    vectors = np.ascontiguousarray(np.asarray(vectors), np.float32)
+    b_new, dim = vectors.shape
+    n0 = int(graph.num_nodes)
+    m = graph.m
+    need = n0 + b_new
+    max_in = max_in or max(4, m // 2)
+    if labels is None:
+        labels = np.arange(n0, need, dtype=np.uint64)
+
+    # ---- grow arrays (amortized doubling) ----
+    cap = graph.cap
+    new_cap = cap
+    while new_cap < need:
+        new_cap = max(8, new_cap * 2)
+    rng = np.random.default_rng(seed + n0)
+    u = np.maximum(rng.random(b_new), 1e-300)
+    lam = 1.0 / np.log(m)
+    new_levels = np.minimum((-np.log(u) * lam).astype(np.int64), LMAX).astype(np.int32)
+
+    old_slots = np.asarray(graph.upper_slot[:n0])
+    n_upper0 = int(old_slots.max()) + 1 if (old_slots >= 0).any() else 0
+    add_upper = int((new_levels >= 1).sum())
+    new_slot = np.full(b_new, -1, np.int32)
+    new_slot[new_levels >= 1] = n_upper0 + np.arange(add_upper, dtype=np.int32)
+    ucap_old = graph.upper_neighbors.shape[0]
+    ucap_new = max(ucap_old, n_upper0 + add_upper + 1)
+
+    def pad(arr, rows, fill):
+        extra = rows - arr.shape[0]
+        if extra <= 0:
+            return arr
+        pad_block = jnp.full((extra,) + arr.shape[1:], fill, arr.dtype)
+        return jnp.concatenate([arr, pad_block], axis=0)
+
+    vecs = pad(graph.vectors, new_cap, 0)
+    vecs = jax.lax.dynamic_update_slice_in_dim(vecs, jnp.asarray(vectors), n0, axis=0)
+    sqn = pad(graph.sq_norms, new_cap, 0)
+    sqn = jax.lax.dynamic_update_slice_in_dim(
+        sqn, jnp.einsum("nd,nd->n", jnp.asarray(vectors), jnp.asarray(vectors)),
+        n0, axis=0,
+    )
+    nbr0 = graph.neighbors0
+    if new_cap != cap:  # re-pad with the dummy row at the new cap position
+        nbr0 = jnp.concatenate(
+            [nbr0[:cap], jnp.full((new_cap + 1 - cap, 2 * m), -1, jnp.int32)], axis=0
+        )
+    levels = pad(graph.levels, new_cap, 0)
+    levels = jax.lax.dynamic_update_slice_in_dim(
+        levels, jnp.asarray(new_levels), n0, axis=0
+    )
+    slots = pad(graph.upper_slot, new_cap, -1)
+    slots = jax.lax.dynamic_update_slice_in_dim(
+        slots, jnp.asarray(new_slot), n0, axis=0
+    )
+    upper = graph.upper_neighbors
+    if ucap_new != ucap_old:
+        upper = jnp.concatenate(
+            [upper[: ucap_old - 1],
+             jnp.full((ucap_new - ucap_old + 1, LMAX, m), -1, jnp.int32)],
+            axis=0,
+        )
+    st = BuildState(
+        vectors=vecs, sq_norms=sqn, neighbors0=nbr0,
+        upper_neighbors=upper, upper_slot=slots, levels=levels,
+        entry=graph.entry, max_level=graph.max_level,
+        n=jnp.asarray(n0, jnp.int32), m=m, dim=dim, metric=int(metric),
+    )
+
+    all_levels = np.asarray(levels[:need])
+    level_id_arrays = []
+    for lvl in range(1, int(all_levels.max()) + 1):
+        lids = np.nonzero(all_levels >= lvl)[0].astype(np.int32)
+        size = max(8, 1 << int(np.ceil(np.log2(len(lids)))))
+        padded = np.full(size, -1, np.int32)
+        padded[: len(lids)] = lids
+        level_id_arrays.append(jnp.asarray(padded))
+    level_tuple = tuple(level_id_arrays)
+
+    pos = n0
+    while pos < need:
+        end = min(pos + batch, need)
+        ids = np.full(batch, -1, np.int32)
+        ids[: end - pos] = np.arange(pos, end, dtype=np.int32)
+        st = insert_round(st, jnp.asarray(ids), level_tuple,
+                          efc=ef_construction, max_in=max_in)
+        pos = end
+
+    from lantern_tpu.graph.device import split_labels
+
+    old_labels = graph.labels[:n0]
+    lab = jnp.concatenate(
+        [old_labels, jnp.asarray(split_labels(labels)),
+         jnp.zeros((new_cap - need, 2), jnp.uint32)], axis=0
+    )
+    deleted = jnp.concatenate(
+        [graph.deleted[:n0], jnp.zeros((new_cap - n0,), bool)], axis=0
+    )
+    return DeviceGraph(
+        vectors=st.vectors, sq_norms=st.sq_norms, neighbors0=st.neighbors0,
+        upper_neighbors=st.upper_neighbors, upper_slot=st.upper_slot,
+        levels=st.levels, labels=lab, deleted=deleted,
+        entry=st.entry, max_level=st.max_level,
+        num_nodes=jnp.asarray(need, jnp.int32),
+        m=m, dim=dim, metric=int(metric), quant=graph.quant,
+        use_pallas=graph.use_pallas,
+    )
+
+
 def build_on_device(
     vectors: np.ndarray,
     params: HnswParams,

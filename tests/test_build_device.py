@@ -103,3 +103,26 @@ def test_device_build_tiny():
     g = build_on_device(base, p, batch=256, seed=0)
     d, ids, _ = search_batched(g, jnp.array(base), k=5, ef=8)
     assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
+
+
+def test_device_insert_incremental():
+    """ldb_aminsert analog: incremental inserts with capacity growth."""
+    from lantern_tpu.graph.build_device import device_insert
+
+    rng = np.random.default_rng(70)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    g = build_on_device(base[:800], p, batch=128, seed=0)
+    g2 = device_insert(g, base[800:], batch=128, seed=1, ef_construction=48)
+    assert int(g2.num_nodes) == 1200
+    assert g2.cap >= 1200
+    q = jnp.array(base[::97])
+    _, tids = exact_search(q, jnp.array(base), k=10)
+    _, ids, _ = search_batched(g2, q, k=10, ef=64)
+    rec = _recall(np.asarray(ids), np.asarray(tids))
+    assert rec >= 0.85, f"incremental recall {rec}"
+    # newly inserted nodes findable by their own vectors
+    _, ids2, _ = search_batched(g2, jnp.array(base[800:808]), k=1, ef=32)
+    np.testing.assert_array_equal(np.asarray(ids2)[:, 0], np.arange(800, 808))
+    rep = validate_device(g2, full=True)
+    rep.raise_if_failed()
