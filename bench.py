@@ -53,7 +53,7 @@ def main():
     from lantern_tpu.config import HnswParams
     from lantern_tpu.graph.build_device import build_on_device
     from lantern_tpu.graph.search import search_batched
-    from lantern_tpu.native import LMAX, NativeHnsw, get_lib
+    from lantern_tpu.native import NativeHnsw, get_lib
     from lantern_tpu.ops import exact_search
 
     params = HnswParams(dim=dim, m=m, ef_construction=efc)
@@ -143,7 +143,6 @@ def main():
         *[a.ctypes.data_as(ctypes.c_void_p) for a in args],
     )
     assert rc == 0, "graph export to native engine failed"
-    del LMAX
     q_np = np.asarray(queries[:200])
     t0 = time.perf_counter()
     for i in range(len(q_np)):

@@ -106,7 +106,6 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
     m = graph.upper_neighbors.shape[2]
     ucap = graph.upper_neighbors.shape[0]
     flat_upper = graph.upper_neighbors.reshape(ucap * LMAX, m)
-    cap = graph.cap
 
     curr = jnp.full((q,), graph.entry, jnp.int32)
     curr_d = _candidate_dists(graph, queries, q_sq, curr[:, None], lut)[:, 0]
@@ -149,7 +148,6 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
     _, curr, curr_d = jax.lax.while_loop(
         level_cond, level_body, (graph.max_level, curr, curr_d)
     )
-    del cap
     return curr, curr_d
 
 

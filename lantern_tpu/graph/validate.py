@@ -41,8 +41,6 @@ def validate_device(graph, full: bool = True,
     class _View:
         pass
 
-    import dataclasses as _dc
-
     from lantern_tpu.config import HnswParams, Metric, QuantKind
 
     v = _View()
@@ -64,7 +62,6 @@ def validate_device(graph, full: bool = True,
     quant = QuantKind.F32 if graph.quant == 100 else QuantKind(graph.quant)
     v.p = HnswParams(dim=max(graph.dim, 1), m=graph.m,
                      metric=Metric(graph.metric), quant=quant)
-    del _dc
     return validate(v, full=full, min_reachable_frac=min_reachable_frac)
 
 

@@ -132,8 +132,6 @@ def build_sharded(
         nn_np[si] = ni
         gid_np[si, :ni] = gids[si][:ni]
 
-    shard0 = NamedSharding(mesh, P("shard"))
-
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
@@ -153,7 +151,6 @@ def build_sharded(
         dim=params.dim,
         metric=int(metric),
     )
-    del shard0
     return ShardedIndex(graphs=graphs, global_ids=put(gid_np, P("shard")))
 
 

@@ -225,8 +225,8 @@ class IndexServer:
 
         self.log.info(f"indexed {count} tuples; serializing")
         failure_point("_handle_inner", "before_reply")
-        buf = io.BytesIO()
-        import tempfile, os
+        import os
+        import tempfile
 
         with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
             path = tf.name
@@ -236,7 +236,6 @@ class IndexServer:
                 data = f.read()
         finally:
             os.unlink(path)
-        del buf
         writer.write(struct.pack("<Q", count))
         writer.write(struct.pack("<Q", len(data)))
         writer.write(data)
