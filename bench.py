@@ -68,10 +68,16 @@ def main():
     jax.block_until_ready(g.neighbors0)
     build_s = time.perf_counter() - t0
 
-    # ---- TPU batched QPS (bf16 storage: +25% search at equal recall) ----
+    # ---- TPU batched QPS ----
+    # bf16 storage (+25%) and BFS locality relabeling (+60%) at equal recall
     import dataclasses
 
-    g_search = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
+    from lantern_tpu.graph.reorder import reorder_bfs
+
+    g_search = reorder_bfs(g)
+    g_search = dataclasses.replace(
+        g_search, vectors=g_search.vectors.astype(jnp.bfloat16)
+    )
     expand = int(os.environ.get("BENCH_EXPAND", 2))
     d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
     jax.block_until_ready(d)  # compile
@@ -105,15 +111,20 @@ def main():
     tpu_qps = q * iters / (time.perf_counter() - t0)
 
     # ---- recall vs exact oracle over the same stored vectors ----
+    # compare LABELS (stable through the BFS relabeling), not internal ids
+    from lantern_tpu.graph.device import join_labels
+
     nq_r = min(q, 256)
-    d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
+    d, ids, labs = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
     _, true_ids = exact_search(queries[:nq_r], g.vectors, k=k)
-    ids_np, true_np = np.asarray(ids[:nq_r]), np.asarray(true_ids)
+    found = join_labels(np.asarray(labs[:nq_r])).astype(np.int64)
+    found = np.where(np.asarray(ids[:nq_r]) >= 0, found, -1)
+    true_np = np.asarray(true_ids)
     recall = float(
         np.mean(
             [
                 len(set(a[a >= 0].tolist()) & set(b.tolist())) / k
-                for a, b in zip(ids_np, true_np)
+                for a, b in zip(found, true_np)
             ]
         )
     )

@@ -126,3 +126,23 @@ def test_device_insert_incremental():
     np.testing.assert_array_equal(np.asarray(ids2)[:, 0], np.arange(800, 808))
     rep = validate_device(g2, full=True)
     rep.raise_if_failed()
+
+
+def test_reorder_bfs_identical_results():
+    """BFS relabeling must return identical results modulo labels."""
+    from lantern_tpu.graph.device import join_labels
+    from lantern_tpu.graph.reorder import reorder_bfs
+
+    rng = np.random.default_rng(71)
+    base = rng.standard_normal((1500, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    g = build_on_device(base, p, batch=128, seed=0)
+    g2 = reorder_bfs(g)
+    rep = validate_device(g2, full=True)
+    rep.raise_if_failed()
+    q = jnp.array(base[:32])
+    d1, i1, _ = search_batched(g, q, k=10, ef=48)
+    d2, _, lab2 = search_batched(g2, q, k=10, ef=48)
+    back = join_labels(np.asarray(lab2)).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(i1), back)  # identical results
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
