@@ -26,6 +26,7 @@ import zlib
 import numpy as np
 
 from lantern_tpu.config import HnswParams, Metric, QuantKind
+from lantern_tpu.utils.failpoints import failure_point
 
 HEADER_MAGIC = 0xA47E60DB  # same magic as the reference header page
 HEADER_VERSION = 1
@@ -138,6 +139,8 @@ def save_snapshot(engine, path: str, pq_codebook=None):
         _write_arr(f, engine.deleted[:n].astype(np.uint8))
         if engine.p.pq:
             _write_arr(f, np.asarray(pq_codebook, np.float32))
+        # crash site: everything written but not yet visible (failure_point.h idiom)
+        failure_point("save_snapshot", "before_rename")
     os.replace(tmp, path)
 
 
@@ -231,6 +234,8 @@ class InsertLog:
         for v, lab in zip(vecs, labels):
             raw = v.tobytes()
             self._f.write(struct.pack(_LOG_REC_HDR, int(lab), len(raw), zlib.crc32(raw)))
+            # crash site: header written, payload missing -> torn record
+            failure_point("insert_log_append", "mid_record")
             self._f.write(raw)
         self._f.flush()
         os.fsync(self._f.fileno())

@@ -174,3 +174,44 @@ def test_cost_model_sanity():
     assert c.expected_visited > 64
     assert c.hbm_bytes_per_batch > 0 and c.flops_per_batch > 0
     assert "visited" in c.summary
+
+
+def test_crash_atomicity_failure_points(tmp_path, rng):
+    """Failure-point crash tests (failure_point.h idiom): crash mid-save
+    leaves the previous snapshot intact; crash mid-WAL-append leaves a torn
+    record that replay discards."""
+    from lantern_tpu.utils.failpoints import (
+        FailurePointError,
+        failure_point_disable_all,
+        failure_point_enable,
+    )
+
+    base = rng.standard_normal((100, 8)).astype(np.float32)
+    snap = str(tmp_path / "a.ldb")
+    wal = str(tmp_path / "a.log")
+    ix = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=256,
+               log_path=wal)
+    ix.add(base[:50])
+    ix.save(snap)
+    try:
+        # crash during save: old snapshot must survive
+        ix.add(base[50:60])
+        failure_point_enable("save_snapshot", "before_rename")
+        with pytest.raises(FailurePointError):
+            ix.save(snap)
+        failure_point_disable_all()
+        old = Index.load(snap)
+        assert old.size == 50  # pre-crash snapshot intact
+        # crash mid-WAL-append: torn tail discarded on replay, prefix intact
+        failure_point_enable("insert_log_append", "mid_record",
+                             dont_trigger_first_nr=5)
+        with pytest.raises(FailurePointError):
+            ix.add(base[60:70])
+        failure_point_disable_all()
+        recovered = Index.load(snap, log_path=wal, extra_capacity=64)
+        # snapshot(50) + log replay: adds 50..59 complete, 60..64 before the
+        # torn record, nothing after
+        assert 50 <= recovered.size <= 66
+        recovered.validate().raise_if_failed()
+    finally:
+        failure_point_disable_all()
