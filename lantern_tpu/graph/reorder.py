@@ -38,38 +38,90 @@ def bfs_order(neighbors0: np.ndarray, entry: int, n: int) -> np.ndarray:
     return np.concatenate(blocks)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def _bfs_order_device(neighbors0, entry, n, max_rounds: int = 64):
+    """Device BFS ordering: perm (new -> old) and inv (old -> new).
+
+    Dense-mask rounds: each round scatters the frontier over its out-edges
+    (duplicate-index scatter-max of a boolean), then assigns order numbers
+    to newly reached nodes via a cumsum rank. No host transfers.
+    """
+    cap = neighbors0.shape[0] - 1  # row cap is the -1 dummy
+    iota = jnp.arange(cap)
+    live = iota < n
+    visited = jnp.zeros(cap, bool).at[entry].set(True)
+    order = jnp.full(cap, cap, jnp.int32).at[entry].set(0)
+
+    def cond(state):
+        visited, order, frontier, pos, r = state
+        return jnp.logical_and(jnp.any(frontier), r < max_rounds)
+
+    def body(state):
+        visited, order, frontier, pos, r = state
+        # one-step reachability: scatter frontier over out-edges
+        flat = neighbors0[:cap].reshape(-1)
+        src_in_frontier = jnp.repeat(frontier, neighbors0.shape[1])
+        hit = jnp.zeros(cap + 1, bool).at[
+            jnp.where(flat >= 0, flat, cap)
+        ].max(src_in_frontier)
+        new = hit[:cap] & ~visited & live
+        rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+        order = jnp.where(new, pos + rank, order)
+        return visited | new, order, new, pos + jnp.sum(new.astype(jnp.int32)), r + 1
+
+    visited, order, _, pos, _ = jax.lax.while_loop(
+        cond, body, (visited, order, visited, jnp.int32(1), jnp.int32(0))
+    )
+    # orphans (unreached live nodes) appended after the BFS prefix
+    orphan = live & ~visited
+    orank = jnp.cumsum(orphan.astype(jnp.int32)) - 1
+    order = jnp.where(orphan, pos + orank, order)
+    inv = jnp.where(live, order, cap).astype(jnp.int32)  # old -> new
+    # perm: new -> old via scatter (exact inverse of inv on live ids)
+    perm = jnp.zeros(cap, jnp.int32).at[jnp.where(live, inv, cap - 1)].set(
+        jnp.where(live, iota, 0).astype(jnp.int32)
+    )
+    return perm, inv
+
+
 def reorder_bfs(graph: DeviceGraph) -> DeviceGraph:
-    """Relabel a DeviceGraph in BFS order (host round trip for adjacency).
+    """Relabel a DeviceGraph in BFS order, entirely on device.
 
     External labels ride along, so results are identical modulo internal ids.
     """
     n = int(graph.num_nodes)
-    nb = np.asarray(graph.neighbors0[:n])
-    perm = bfs_order(nb, int(graph.entry), n)  # new -> old
-    inv = np.empty(n, np.int64)                # old -> new
-    inv[perm] = np.arange(n)
+    cap = graph.cap
+    if n != cap:
+        raise ValueError("reorder_bfs expects a fully-populated graph (n == cap)")
+    perm, inv = _bfs_order_device(graph.neighbors0, graph.entry, graph.num_nodes)
 
-    nb_new = np.where(nb[perm] >= 0, inv[np.maximum(nb[perm], 0)], -1).astype(np.int32)
-    nb_new = np.concatenate([nb_new, np.full((1, nb.shape[1]), -1, np.int32)], axis=0)
-    up = np.asarray(graph.upper_neighbors)
-    up_new = np.where(up >= 0, inv[np.maximum(up, 0)], -1).astype(np.int32)
+    nb = graph.neighbors0[:cap][perm]
+    nb_new = jnp.where(nb >= 0, inv[jnp.maximum(nb, 0)], -1)
+    nb_new = jnp.concatenate(
+        [nb_new, jnp.full((1, nb.shape[1]), -1, jnp.int32)], axis=0
+    )
+    up = graph.upper_neighbors
+    up_new = jnp.where(up >= 0, inv[jnp.maximum(up, 0)], -1)
 
     return DeviceGraph(
-        vectors=jnp.asarray(np.asarray(graph.vectors[:n])[perm]),
-        sq_norms=jnp.asarray(np.asarray(graph.sq_norms[:n])[perm]),
-        neighbors0=jnp.asarray(nb_new),
-        upper_neighbors=jnp.asarray(up_new),
-        upper_slot=jnp.asarray(np.asarray(graph.upper_slot[:n])[perm]),
-        levels=jnp.asarray(np.asarray(graph.levels[:n])[perm]),
-        labels=jnp.asarray(np.asarray(graph.labels[:n])[perm]),
-        deleted=jnp.asarray(np.asarray(graph.deleted[:n])[perm]),
-        entry=jnp.asarray(int(inv[int(graph.entry)]), jnp.int32),
+        vectors=graph.vectors[:cap][perm],
+        sq_norms=graph.sq_norms[:cap][perm],
+        neighbors0=nb_new,
+        upper_neighbors=up_new,
+        upper_slot=graph.upper_slot[:cap][perm],
+        levels=graph.levels[:cap][perm],
+        labels=graph.labels[:cap][perm],
+        deleted=graph.deleted[:cap][perm],
+        entry=inv[graph.entry],
         max_level=graph.max_level,
         num_nodes=jnp.asarray(n, jnp.int32),
         vec_scales=(
-            jnp.asarray(np.asarray(graph.vec_scales[:n])[perm])
-            if graph.vec_scales is not None
-            else None
+            graph.vec_scales[:cap][perm] if graph.vec_scales is not None else None
         ),
         pq_codebook=graph.pq_codebook,
         m=graph.m,
