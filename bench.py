@@ -69,12 +69,16 @@ def main():
     build_s = time.perf_counter() - t0
 
     # ---- TPU batched QPS ----
-    # bf16 storage (+25%) and BFS locality relabeling (+60%) at equal recall
+    # bf16 storage (+25% at equal recall); optional BFS locality relabeling
+    # (helps at ~200k-500k node counts where the hot prefix fits cache;
+    # neutral at 1M — measured) via BENCH_REORDER=1
     import dataclasses
 
-    from lantern_tpu.graph.reorder import reorder_bfs
+    g_search = g
+    if os.environ.get("BENCH_REORDER") == "1":
+        from lantern_tpu.graph.reorder import reorder_bfs
 
-    g_search = reorder_bfs(g)
+        g_search = reorder_bfs(g_search)
     g_search = dataclasses.replace(
         g_search, vectors=g_search.vectors.astype(jnp.bfloat16)
     )
