@@ -548,11 +548,16 @@ def build_on_device(
     seed: int = 0,
     max_in: int | None = None,
     labels: np.ndarray | None = None,
+    progress_cb=None,
 ) -> DeviceGraph:
     """Build an HNSW graph for ``vectors`` entirely on device.
 
     Supports l2sq/cos over f32 (apply bf16/i8/PQ storage after build via
     to_device-style conversion). Returns a search-ready DeviceGraph.
+
+    ``progress_cb(frac)`` is invoked with build progress in [0, 1] — the
+    analog of the reference's pg_stat_progress_create_index phases
+    (hnsw.c:43-57) and the CLI's percent callbacks (pq/mod.rs:26-56).
     """
     metric = Metric(params.metric)
     if metric == Metric.HAMMING:
@@ -616,6 +621,7 @@ def build_on_device(
     # always pass the full level tuple: nearly every round contains a node of
     # near-max level anyway, and a single static level count means ONE compile
     level_tuple = tuple(level_id_arrays)
+    last_pct = -1
     for start, live, size in ramped_batches(n, batch):
         ids = np.full(size, -1, np.int32)
         ids[:live] = np.arange(start, start + live, dtype=np.int32)
@@ -626,6 +632,11 @@ def build_on_device(
             efc=params.ef_construction,
             max_in=max_in,
         )
+        if progress_cb is not None:
+            pct = (start + live) * 100 // n
+            if pct != last_pct:
+                last_pct = pct
+                progress_cb((start + live) / n)
 
     if labels is None:
         labels_np = np.arange(n, dtype=np.uint64)

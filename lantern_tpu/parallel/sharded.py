@@ -45,8 +45,30 @@ class ShardedIndex:
     global_ids: jax.Array   # [S, cap+1] int32: local slot -> global id (-1 pad)
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Initialize multi-host JAX (DCN) — the analog of the reference's
+    router + indexing-server fleet spanning machines.
+
+    After this, jax.devices() returns the GLOBAL device list, so make_mesh
+    spans all hosts: shard-axis collectives ride ICI within a slice and DCN
+    across slices, handled by XLA from the same sharding annotations.
+    On Cloud TPU pods the arguments are auto-detected (pass nothing).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_shards: int | None = None, data: int = 1) -> Mesh:
-    """Build a (data, shard) mesh over available devices."""
+    """Build a (data, shard) mesh over available devices.
+
+    Under multi-host JAX (init_multihost / jax.distributed) the device list
+    is global, so the same call produces a pod-wide mesh.
+    """
     devs = np.array(jax.devices())
     total = len(devs)
     if n_shards is None:

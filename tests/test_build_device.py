@@ -146,3 +146,13 @@ def test_reorder_bfs_identical_results():
     back = join_labels(np.asarray(lab2)).astype(np.int64)
     np.testing.assert_array_equal(np.asarray(i1), back)  # identical results
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_build_progress_callback():
+    rng = np.random.default_rng(72)
+    base = rng.standard_normal((300, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    fracs = []
+    build_on_device(base, p, batch=64, seed=0, progress_cb=fracs.append)
+    assert fracs and abs(fracs[-1] - 1.0) < 1e-9
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
