@@ -605,12 +605,18 @@ def build_on_device(
     )
 
     # per-level id lists (level_ids[l-1] = ids with level >= l, -1 padded to
-    # a stable static size so jit compiles once per level count)
+    # a stable static size so jit compiles once per level count). The exact
+    # upper-pool distance matmul is O(B * len(lids) * dim) per round, so
+    # huge level-1 lists (10M-scale builds) are subsampled — upper layers
+    # are navigation aids and tolerate it.
+    UPPER_POOL_CAP = 32768
     level_id_arrays = []
     for lvl in range(1, LMAX + 1):
         lids = np.nonzero(levels >= lvl)[0].astype(np.int32)
         if len(lids) == 0:
             break
+        if len(lids) > UPPER_POOL_CAP:
+            lids = np.sort(rng.choice(lids, UPPER_POOL_CAP, replace=False))
         size = max(8, 1 << int(np.ceil(np.log2(len(lids)))))
         padded = np.full(size, -1, np.int32)
         padded[: len(lids)] = lids

@@ -279,16 +279,22 @@ def build_sharded_device(
         n_upper_max = max(n_upper_max, int(has.sum()))
     ucap = n_upper_max + 1  # + dummy slot
 
-    # per-level id lists, padded to a common static size across shards
+    # per-level id lists, padded to a common static size across shards;
+    # huge level-1 lists are subsampled (see build_on_device's UPPER_POOL_CAP)
+    UPPER_POOL_CAP = 32768
     global_max_lvl = int(lvl_np.max())
     level_arrays = []
     for lvl in range(1, global_max_lvl + 1):
-        sizes = [(lvl_np[si] >= lvl).sum() for si in range(s)]
-        size = max(8, 1 << int(np.ceil(np.log2(max(max(sizes), 1)))))
-        arr = np.full((s, size), -1, np.int32)
+        per_shard = []
         for si in range(s):
             lids = np.nonzero(lvl_np[si] >= lvl)[0].astype(np.int32)
-            arr[si, : len(lids)] = lids
+            if len(lids) > UPPER_POOL_CAP:
+                lids = np.sort(rng.choice(lids, UPPER_POOL_CAP, replace=False))
+            per_shard.append(lids)
+        size = max(8, 1 << int(np.ceil(np.log2(max(max(len(x) for x in per_shard), 1)))))
+        arr = np.full((s, size), -1, np.int32)
+        for si in range(s):
+            arr[si, : len(per_shard[si])] = per_shard[si]
         level_arrays.append(arr)
 
     def put(x, spec=P("shard")):
