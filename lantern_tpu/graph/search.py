@@ -67,10 +67,10 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
             qb=16,
             interpret=jax.default_backend() == "cpu",
         )
-    vecs = graph.vectors[cand_ids]  # [Q, C, w] gather (w = S bytes for PQ)
     if graph.quant == QUANT_PQ:
         from lantern_tpu.quant.pq import adc_distances
 
+        vecs = graph.vectors[cand_ids]  # [Q, C, S] code gather
         part = adc_distances(lut, vecs.astype(jnp.int32))
         if metric == Metric.L2SQ:
             return part  # LUT already encodes ||q_s - c_sk||^2
@@ -78,23 +78,36 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
         qn = jnp.sqrt(q_sq)[:, None]
         xn = jnp.sqrt(graph.sq_norms[cand_ids])
         return 1.0 - part / jnp.maximum(qn * xn, 1e-30)
+
+    # SORTED gather: XLA's row gather is ~15x faster on ascending addresses
+    # (measured 29ms -> 1.9ms per [1024, 32] gather at 1M x 128d). Sort the
+    # flattened ids with their positions, gather/compute on the sorted
+    # stream, and unsort only the scalar distances with a second cheap sort.
+    q, c = cand_ids.shape
+    flat = cand_ids.reshape(-1)
+    pos = jnp.arange(q * c, dtype=jnp.int32)
+    s_ids, s_pos = jax.lax.sort((flat, pos), num_keys=1)
+    qidx = s_pos // c
     if metric == Metric.HAMMING:
-        x = jnp.bitwise_xor(queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32))
-        return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
-    dots = jnp.einsum(
-        "qd,qcd->qc",
-        queries.astype(jnp.float32),
-        vecs.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    if graph.vec_scales is not None:  # i8 codes: fold the per-vector scale
-        dots = dots * graph.vec_scales[cand_ids]
-    if metric == Metric.L2SQ:
-        return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
-    # cosine
-    qn = jnp.sqrt(q_sq)[:, None]
-    xn = jnp.sqrt(graph.sq_norms[cand_ids])
-    return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
+        g = graph.vectors[s_ids].astype(jnp.uint32)  # [QC, W]
+        x = jnp.bitwise_xor(queries[qidx].astype(jnp.uint32), g)
+        d = jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
+    else:
+        g = graph.vectors[s_ids].astype(jnp.float32)  # [QC, d]
+        dots = jnp.einsum(
+            "nd,nd->n", queries[qidx].astype(jnp.float32), g,
+            preferred_element_type=jnp.float32,
+        )
+        if graph.vec_scales is not None:  # i8 codes: fold per-vector scale
+            dots = dots * graph.vec_scales[s_ids]
+        if metric == Metric.L2SQ:
+            d = q_sq[qidx] - 2.0 * dots + graph.sq_norms[s_ids]
+        else:  # cosine
+            qn = jnp.sqrt(q_sq[qidx])
+            xn = jnp.sqrt(graph.sq_norms[s_ids])
+            d = 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
+    _, d_orig = jax.lax.sort((s_pos, d), num_keys=1)
+    return d_orig.reshape(q, c)
 
 
 def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
