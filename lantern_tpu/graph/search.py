@@ -79,10 +79,34 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
         xn = jnp.sqrt(graph.sq_norms[cand_ids])
         return 1.0 - part / jnp.maximum(qn * xn, 1e-30)
 
-    # SORTED gather: XLA's row gather is ~15x faster on ascending addresses
-    # (measured 29ms -> 1.9ms per [1024, 32] gather at 1M x 128d). Sort the
-    # flattened ids with their positions, gather/compute on the sorted
-    # stream, and unsort only the scalar distances with a second cheap sort.
+    # Two regimes (measured):
+    # - small tables (<~256k rows): XLA's random row gather is fast
+    #   (cache/TLB resident) -> plain gather + MXU batched matvec wins.
+    # - big tables: random gathers collapse to ~0.6 GB/s; ascending-address
+    #   gathers stay at 9+ GB/s (15x on the isolated 1M chain). Sort the
+    #   flattened ids with positions, gather/compute on the sorted stream,
+    #   unsort only the scalar distances with a second cheap sort.
+    if graph.cap < 262_144:
+        vecs = graph.vectors[cand_ids]  # [Q, C, w]
+        if metric == Metric.HAMMING:
+            x = jnp.bitwise_xor(
+                queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32)
+            )
+            return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
+        dots = jnp.einsum(
+            "qd,qcd->qc",
+            queries.astype(jnp.float32),
+            vecs.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if graph.vec_scales is not None:
+            dots = dots * graph.vec_scales[cand_ids]
+        if metric == Metric.L2SQ:
+            return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
+        qn = jnp.sqrt(q_sq)[:, None]
+        xn = jnp.sqrt(graph.sq_norms[cand_ids])
+        return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
+
     q, c = cand_ids.shape
     flat = cand_ids.reshape(-1)
     pos = jnp.arange(q * c, dtype=jnp.int32)
