@@ -114,8 +114,17 @@ class _Handler(BaseHTTPRequestHandler):
                         "POST /collections/{name}/index",
                         "DELETE /collections/{name}/index",
                         "POST /collections/{name}/pq",
+                        "GET /models", "GET /runtimes",
                     ],
                 })
+            if path == "/models" and method == "GET":
+                from lantern_tpu.embeddings import get_available_models
+
+                return self._reply(200, get_available_models())
+            if path == "/runtimes" and method == "GET":
+                from lantern_tpu.embeddings import get_available_runtimes
+
+                return self._reply(200, get_available_runtimes())
             if path == "/collections":
                 if method == "GET":
                     return self._reply(200, [

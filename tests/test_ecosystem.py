@@ -204,3 +204,11 @@ def test_cli_pipeline(tmp_path, rng, capsys):
     main(["create-embeddings", "--input", str(inp),
           "--output", str(tmp_path / "e.npy"), "--runtime", "hash"])
     assert np.load(tmp_path / "e.npy").shape[0] == 3
+
+
+def test_http_models_endpoints(api):
+    base = f"http://127.0.0.1:{api.port}"
+    code, models = _req("GET", base + "/models")
+    assert code == 200 and any(m["runtime"] == "hash" for m in models)
+    code, runtimes = _req("GET", base + "/runtimes")
+    assert code == 200 and "openai" in runtimes
