@@ -38,6 +38,11 @@ LMAX = 16  # must match host_build.LMAX
 
 _INF = jnp.inf
 
+# Above this node count, random row gathers collapse (~0.6 GB/s measured) and
+# ascending-address access wins 15x; below it, plain gathers + MXU matvecs
+# win. Module-level so tests can exercise both regimes on small graphs.
+SORT_GATHER_THRESHOLD = 262_144
+
 
 def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
     """Distances from each query to its candidate ids.
@@ -86,7 +91,7 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
     #   gathers stay at 9+ GB/s (15x on the isolated 1M chain). Sort the
     #   flattened ids with positions, gather/compute on the sorted stream,
     #   unsort only the scalar distances with a second cheap sort.
-    if graph.cap < 262_144:
+    if graph.cap < SORT_GATHER_THRESHOLD:
         vecs = graph.vectors[cand_ids]  # [Q, C, w]
         if metric == Metric.HAMMING:
             x = jnp.bitwise_xor(
@@ -305,13 +310,38 @@ def search_batched(
         )
         expanded = jnp.logical_or(expanded, jnp.any(sel_oh, axis=1))
 
-        # gather neighbor lists -> candidate block [Q, C]
-        nbrs = graph.neighbors0[exp_ids].reshape(q, c)
+        # gather neighbor lists -> candidate block [Q, C]. Above the sorted-
+        # gather threshold (see _candidate_dists), issue the adjacency gather
+        # in ascending-address order and regroup per query with a sort
+        # (candidate order within a row is irrelevant downstream).
+        big = cap >= SORT_GATHER_THRESHOLD and q * vwords < 2**31
+        if big:
+            flat_exp = exp_ids.reshape(-1)                     # [Q*E]
+            qrow_e = jnp.repeat(jnp.arange(q, dtype=jnp.int32), expand)
+            s_exp, s_qrow = jax.lax.sort((flat_exp, qrow_e), num_keys=1)
+            rows_sorted = graph.neighbors0[s_exp]              # [Q*E, m0]
+            cand_q = jnp.repeat(s_qrow, m0)
+            _, nbrs_flat = jax.lax.sort(
+                (cand_q, rows_sorted.reshape(-1)), num_keys=1
+            )
+            nbrs = nbrs_flat.reshape(q, c)
+        else:
+            nbrs = graph.neighbors0[exp_ids].reshape(q, c)
         valid = nbrs >= 0
         nbrs_c = jnp.where(valid, nbrs, cap)
         words = nbrs_c >> 5                                   # [Q, C]
         bits = jnp.uint32(1) << (nbrs_c & 31).astype(jnp.uint32)
-        old = jnp.take_along_axis(visited, words, axis=1)     # [Q, C] u32
+        if big:
+            # flat sorted gather of the visited words (row-wise take_along
+            # serializes; global ascending addresses don't)
+            gidx = (rowq * vwords + words).reshape(-1)
+            pos = jnp.arange(q * c, dtype=jnp.int32)
+            s_gidx, s_pos = jax.lax.sort((gidx, pos), num_keys=1)
+            old_s = visited.reshape(-1)[s_gidx]
+            _, old_flat = jax.lax.sort((s_pos, old_s), num_keys=1)
+            old = old_flat.reshape(q, c)
+        else:
+            old = jnp.take_along_axis(visited, words, axis=1)  # [Q, C] u32
         seen = (old & bits) != 0
         fresh = jnp.logical_and(valid, jnp.logical_not(seen))
         # dedup unconditionally: expanded nodes can share neighbors
@@ -327,7 +357,19 @@ def search_batched(
         combined = jnp.sum(
             jnp.where(same_word, contrib[:, None, :], jnp.uint32(0)), axis=2
         )
-        visited = visited.at[rowq, words].set(old | combined)
+        newval = old | combined
+        if big:
+            # ascending-address scatter (duplicate indices carry identical
+            # values by construction, so write order is irrelevant)
+            s_gidx2, v_sorted = jax.lax.sort(
+                ((rowq * vwords + words).reshape(-1), newval.reshape(-1)),
+                num_keys=1,
+            )
+            visited = (
+                visited.reshape(-1).at[s_gidx2].set(v_sorted).reshape(q, vwords)
+            )
+        else:
+            visited = visited.at[rowq, words].set(newval)
 
         d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)
