@@ -38,10 +38,14 @@ LMAX = 16  # must match host_build.LMAX
 
 _INF = jnp.inf
 
-# Above this node count, random row gathers collapse (~0.6 GB/s measured) and
-# ascending-address access wins 15x; below it, plain gathers + MXU matvecs
-# win. Module-level so tests can exercise both regimes on small graphs.
-SORT_GATHER_THRESHOLD = 262_144
+# Ascending-address (sorted) access paths: isolated microbenchmarks show
+# random row gathers collapsing to ~0.6 GB/s beyond ~256k rows while sorted
+# gathers hold 9+ GB/s (15x) — but IN-LOOP measurements at 1M showed the
+# sorted variants neutral-to-slower (2.9k -> 2.6k -> 2.0k QPS as each was
+# enabled), i.e. XLA schedules in-loop gathers differently than isolated
+# ones. The paths are kept, tested (threshold-monkeypatched), and DISABLED
+# by default pending in-context profiling evidence.
+SORT_GATHER_THRESHOLD = 1 << 62
 
 
 def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
