@@ -64,3 +64,31 @@ def estimate_search_cost(
 def estimate_build_rows(first_block_live: int, total_blocks: int) -> int:
     """Row-count estimate from first-block density (utils.c:228-249 analog)."""
     return max(first_block_live, 1) * max(total_blocks, 1)
+
+
+# ---- strategy dispatch (the planner's seq-scan vs index-scan choice) ----
+
+# measured v5e effective rates for the two strategies (BASELINE.md r2):
+# flat scan streams the table through the MXU at ~50-200 GB/s effective;
+# graph search pays ~`iters` serialized HBM random-gather rounds.
+FLAT_HBM_BUDGET_BYTES = 8 << 30  # leave headroom out of 16 GB v5e HBM
+
+
+def choose_search_strategy(
+    n: int,
+    width: int,
+    itemsize: int,
+    quant_is_pq: bool = False,
+    hbm_budget: int = FLAT_HBM_BUDGET_BYTES,
+) -> str:
+    """'flat' or 'graph' — the TPU analog of the reference planner choosing
+    between a sequential scan and the index (hnswcostestimate's purpose,
+    hnsw.c:150-209). On TPU the dense MXU scan dominates graph traversal at
+    every scale where the stored table fits HBM (measured: ~200k vs ~3k QPS
+    at 1M x 128d), so the only reasons to traverse the graph are PQ-coded
+    storage (ADC path) or tables too large to scan-resident."""
+    if quant_is_pq:
+        return "graph"
+    if n * width * itemsize > hbm_budget:
+        return "graph"
+    return "flat"

@@ -487,13 +487,15 @@ def device_insert(
     slots = jax.lax.dynamic_update_slice_in_dim(
         slots, jnp.asarray(new_slot), n0, axis=0
     )
-    upper = graph.upper_neighbors
-    if ucap_new != ucap_old:
-        upper = jnp.concatenate(
-            [upper[: ucap_old - 1],
-             jnp.full((ucap_new - ucap_old + 1, LMAX, m), -1, jnp.int32)],
-            axis=0,
-        )
+    # Keep exactly the n_upper0 REAL slots and append blank ones. Slicing
+    # ucap_old-1 would assume a trailing dummy scratch slot, but graphs from
+    # to_device()/load_snapshot carry no dummy — that slice silently wiped
+    # the highest-slot node's upper adjacency on host-built graphs.
+    upper = jnp.concatenate(
+        [graph.upper_neighbors[:n_upper0],
+         jnp.full((ucap_new - n_upper0, LMAX, m), -1, jnp.int32)],
+        axis=0,
+    )
     st = BuildState(
         vectors=vecs, sq_norms=sqn, neighbors0=nbr0,
         upper_neighbors=upper, upper_slot=slots, levels=levels,

@@ -47,6 +47,7 @@ class Index:
         else:
             raise ValueError(f"unknown engine {engine!r}")
         self._graph = None  # cached device mirror
+        self._label_sort = None  # cached sorted-label lookup (see rows_for_labels)
         self._codebook = None  # PQCodebook when params.pq
         self._log = None
         if log_path:
@@ -164,10 +165,16 @@ class Index:
         k: int = 10,
         ef: int | None = None,
         params: SearchParams | None = None,
+        mode: str = "auto",
+        recall_target: float = 0.95,
     ):
         """Batched device search -> (dists [Q,k] f32, labels [Q,k] u64).
 
         Missing results (unreachable/tombstoned) have dist=+inf, label=0.
+
+        ``mode``: 'flat' = dense MXU scan (the TPU fast path — see flat.py),
+        'graph' = batched HNSW beam search, 'auto' = cost-model dispatch
+        (the planner's seq-scan-vs-index choice, hnsw.c:150-209 analog).
         """
         if params is not None:
             k, ef = params.k, params.ef
@@ -182,7 +189,28 @@ class Index:
 
             queries = np.asarray(binarize(np.asarray(queries, np.float32)))
         q = jnp.asarray(queries)
-        d, ids, labels = search_batched(self.device_graph, q, k=k, ef=max(ef, k))
+        graph = self.device_graph
+        n = self._eng.n  # host-side count (device fetches ride a slow tunnel)
+        if mode == "auto":
+            from lantern_tpu.costmodel import choose_search_strategy
+
+            mode = choose_search_strategy(
+                n, graph.vectors.shape[1],
+                graph.vectors.dtype.itemsize, quant_is_pq=self.params.pq,
+            )
+        if mode == "flat":
+            from lantern_tpu.flat import flat_search_graph
+
+            # exact top-k below ~128k rows (negligible cost, deterministic);
+            # approx_max_k at recall_target above
+            d, ids, labels = flat_search_graph(
+                graph, q, k=k, exact=n <= (1 << 17),
+                recall_target=recall_target,
+            )
+        elif mode == "graph":
+            d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k))
+        else:
+            raise ValueError(f"unknown search mode {mode!r}")
         return np.asarray(d), join_labels(np.asarray(labels))
 
     def search_streaming(self, query: np.ndarray, ef: int | None = None,
@@ -210,6 +238,26 @@ class Index:
                 return  # exhausted the reachable live set or hit the cap
             k = min(k * 2, LDB_SCAN_K_MAX)
 
+    def rows_for_labels(self, labels: np.ndarray) -> np.ndarray:
+        """Vectorized label -> internal-row resolution; -1 for unknown labels.
+
+        Backed by a cached sorted-label array rebuilt only when the node
+        count changes — O(n log n) once, O(m log n) per call (the per-query
+        python-dict rebuild this replaces was O(n) per weighted-search
+        column, unusable at 1M).
+        """
+        n = self._eng.n
+        if self._label_sort is None or self._label_sort[2] != n:
+            lab = np.asarray(self._eng.labels[:n]).copy()
+            order = np.argsort(lab, kind="stable").astype(np.int64)
+            self._label_sort = (lab[order], order, n)
+        slab, order, _ = self._label_sort
+        labels = np.atleast_1d(np.asarray(labels, np.uint64))
+        if len(slab) == 0:
+            return np.full(len(labels), -1, np.int64)
+        idx = np.minimum(np.searchsorted(slab, labels), len(slab) - 1)
+        return np.where(slab[idx] == labels, order[idx], -1)
+
     def search_cpu(self, query: np.ndarray, k: int = 10, ef: int | None = None):
         """Single-query search on the host engine (reference execution model)."""
         ids, d = self._eng.search(np.asarray(query), k=k, ef=ef or self.params.ef)
@@ -230,20 +278,31 @@ class Index:
     # ---- persistence ----
     def save(self, path: str):
         cb = self._codebook.centroids if self._codebook is not None else None
-        save_snapshot(self._eng, path, pq_codebook=cb)
+        # the snapshot records which log records it folds in (generation +
+        # lsn) so a crash before the truncate below can't replay them twice
+        log_state = self._log.state if self._log is not None else None
+        save_snapshot(self._eng, path, pq_codebook=cb, log_state=log_state)
         if self._log is not None:
+            from lantern_tpu.utils.failpoints import failure_point
+
+            # crash site: snapshot durable but log not yet truncated — replay
+            # must skip the folded records via the header's (generation, lsn)
+            failure_point("index_save", "before_log_truncate")
             self._log.truncate()
 
     @classmethod
     def load(cls, path: str, engine: str = "native", extra_capacity: int = 1024,
              log_path: str | None = None) -> "Index":
-        eng, cb = load_snapshot(path, engine=engine, extra_capacity=extra_capacity,
-                                return_codebook=True)
+        eng, cb, log_state = load_snapshot(
+            path, engine=engine, extra_capacity=extra_capacity,
+            return_codebook=True, return_log_state=True,
+        )
         ix = cls.__new__(cls)
         ix.params = eng.p
         ix._engine_kind = engine
         ix._eng = eng
         ix._graph = None
+        ix._label_sort = None
         ix._codebook = None
         if cb is not None:
             from lantern_tpu.quant.pq import PQCodebook
@@ -255,9 +314,12 @@ class Index:
 
             width = eng.vectors.shape[1]
             if os.path.exists(log_path):
-                # the log is truncated on every save(), so any surviving
-                # records are strictly post-snapshot inserts: replay them
-                vecs, labels = InsertLog.replay(log_path, width, eng.vectors.dtype)
+                # the log is truncated on every save(); if a crash landed
+                # between snapshot rename and truncate, the snapshot's
+                # (generation, lsn) filters the already-folded records
+                vecs, labels = InsertLog.replay(
+                    log_path, width, eng.vectors.dtype, snapshot_state=log_state
+                )
                 if len(vecs):
                     ix.add(vecs, labels)
             ix._log = InsertLog(log_path, width, eng.vectors.dtype)

@@ -80,6 +80,8 @@ def get_lib() -> ctypes.CDLL:
             fn.argtypes = [ctypes.c_void_p]
         lib.ldb_index_error.restype = ctypes.c_char_p
         lib.ldb_index_error.argtypes = [ctypes.c_void_p]
+        lib.ldb_index_grow.restype = ctypes.c_int32
+        lib.ldb_index_grow.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.ldb_index_import.restype = ctypes.c_int32
         lib.ldb_index_import.argtypes = (
             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -235,6 +237,17 @@ class NativeHnsw:
             out_d.ctypes.data_as(ctypes.c_void_p),
         )
         return out_ids[:cnt].copy(), out_d[:cnt].copy()
+
+    def grow(self, new_cap: int) -> None:
+        """Grow capacity in place (server.rs:243-247 doubling semantics).
+
+        Must not run concurrently with add/search — callers are the serial
+        ingest loops (index server / Index facade).
+        """
+        rc = self._lib.ldb_index_grow(self._h, int(new_cap))
+        if rc != 0:
+            raise MemoryError(self._lib.ldb_index_error(self._h).decode())
+        self._cap = int(new_cap)
 
     def mark_deleted(self, labels: np.ndarray) -> int:
         labels = np.ascontiguousarray(labels, np.uint64)

@@ -29,11 +29,14 @@
 #include <queue>
 #include <random>
 #include <thread>
+#include <unordered_set>
 #include <vector>
 
 namespace {
 
 constexpr int LMAX = 16;  // must match lantern_tpu.graph.host_build.LMAX
+// max adjacency row length: m <= 128 (options.h:17-25 bound) => m0 <= 256
+constexpr int kMaxDegCap = 256;
 
 enum Metric : int32_t {  // wire codes: external_index/cli.rs:56-69
   METRIC_COS = 1,
@@ -240,23 +243,42 @@ void select_heuristic(Index& ix, std::vector<DistId>& cand_asc, int m,
   }
 }
 
-// write new node's adjacency (node lock held by caller convention: new node
-// not yet visible to others, so no lock needed for its own lists)
+// write new node's adjacency. The node IS visible to concurrent inserters
+// before all levels are written (insert_one publishes it via add_link at
+// higher levels first), so a reverse add_link can race this memcpy — take
+// the node lock, matching add_link.
 void set_nbrs(Index& ix, int32_t v, int level, const std::vector<int32_t>& ids) {
+  ix.node_locks[v].lock();
+  int32_t* row;
+  int32_t* cnt_p;
+  int maxdeg;
   if (level == 0) {
-    int32_t* row = ix.neighbors0.data() + (int64_t)v * ix.m0;
-    int cnt = std::min<int>((int)ids.size(), ix.m0);
-    std::memcpy(row, ids.data(), cnt * sizeof(int32_t));
-    for (int i = cnt; i < ix.m0; i++) row[i] = -1;
-    ix.counts0[v] = cnt;
+    row = ix.neighbors0.data() + (int64_t)v * ix.m0;
+    cnt_p = &ix.counts0[v];
+    maxdeg = ix.m0;
   } else {
     int32_t s = ix.upper_slot[v];
-    int32_t* row = ix.upper_nbrs.data() + ((int64_t)s * LMAX + level - 1) * ix.m;
-    int cnt = std::min<int>((int)ids.size(), ix.m);
-    std::memcpy(row, ids.data(), cnt * sizeof(int32_t));
-    for (int i = cnt; i < ix.m; i++) row[i] = -1;
-    ix.upper_counts[(int64_t)s * LMAX + level - 1] = cnt;
+    row = ix.upper_nbrs.data() + ((int64_t)s * LMAX + level - 1) * ix.m;
+    cnt_p = &ix.upper_counts[(int64_t)s * LMAX + level - 1];
+    maxdeg = ix.m;
   }
+  // preserve reverse links a concurrent add_link already placed here (the
+  // node was published at higher levels first): save them, write the
+  // selected ids, then re-append the survivors deduped against ids
+  int old_cnt = std::min<int>(*cnt_p, maxdeg);
+  int32_t saved[kMaxDegCap];
+  std::memcpy(saved, row, old_cnt * sizeof(int32_t));
+  int cnt = std::min<int>((int)ids.size(), maxdeg);
+  std::memcpy(row, ids.data(), cnt * sizeof(int32_t));
+  for (int i = 0; i < old_cnt && cnt < maxdeg; i++) {
+    bool dup = false;
+    for (int j = 0; j < cnt; j++)
+      if (row[j] == saved[i]) { dup = true; break; }
+    if (!dup) row[cnt++] = saved[i];
+  }
+  for (int i = cnt; i < maxdeg; i++) row[i] = -1;
+  *cnt_p = cnt;
+  ix.node_locks[v].unlock();
 }
 
 // add reverse link u into v's list at `level`, pruning on overflow
@@ -462,19 +484,45 @@ int32_t ldb_index_search(void* h, const float* q, int32_t k, int32_t ef,
 }
 
 int64_t ldb_index_mark_deleted(void* h, const uint64_t* labels, int64_t count) {
+  // one pass over the nodes with a hash set of dead labels — the shape of
+  // the reference's bulk delete (delete.c walks every page exactly once)
   Index& ix = *static_cast<Index*>(h);
+  std::unordered_set<uint64_t> dead(labels, labels + count);
   int64_t n = ix.n.load();
   int64_t killed = 0;
   for (int64_t i = 0; i < n; i++) {
-    for (int64_t j = 0; j < count; j++) {
-      if (ix.labels[i] == labels[j] && !ix.deleted[i]) {
-        ix.deleted[i] = 1;
-        killed++;
-        break;
-      }
+    if (!ix.deleted[i] && dead.count(ix.labels[i])) {
+      ix.deleted[i] = 1;
+      killed++;
     }
   }
   return killed;
+}
+
+// Grow capacity in place (no concurrent adds/searches may be running — the
+// reference grows under an RwLock write lock, server.rs:243-247; callers
+// here are the serial ingest loops). Returns 0, or -1 on shrink attempts.
+int32_t ldb_index_grow(void* h, int64_t new_cap) {
+  Index& ix = *static_cast<Index*>(h);
+  if (new_cap < ix.cap) {
+    snprintf(ix.err, sizeof(ix.err), "grow: new_cap below current capacity");
+    return -1;
+  }
+  if (new_cap == ix.cap) return 0;
+  int64_t new_ucap = new_cap / ix.m * 2 + 64;
+  ix.vectors.resize(new_cap * (int64_t)ix.width, 0.f);
+  ix.neighbors0.resize(new_cap * (int64_t)ix.m0, -1);
+  ix.counts0.resize(new_cap, 0);
+  ix.upper_nbrs.resize(new_ucap * (int64_t)LMAX * ix.m, -1);
+  ix.upper_counts.resize(new_ucap * (int64_t)LMAX, 0);
+  ix.upper_slot.resize(new_cap, -1);
+  ix.levels.resize(new_cap, 0);
+  ix.labels.resize(new_cap, 0);
+  ix.deleted.resize(new_cap, 0);
+  ix.node_locks = std::vector<SpinLock>(new_cap);  // quiescent: safe to swap
+  ix.cap = new_cap;
+  ix.ucap = new_ucap;
+  return 0;
 }
 
 // ---- array export (zero-copy pointers into the index) ----

@@ -70,8 +70,16 @@ class ExternalIndexClient:
 
     def _check_error_frame(self, head: bytes, sock) -> bytes:
         if len(head) >= 4 and struct.unpack("<I", head[:4])[0] == proto.ERR_MSG:
-            (ln,) = struct.unpack("<I", self._recv_exact(sock, 4))
-            msg = self._recv_exact(sock, ln).decode()
+            # the length may already be in `head` (callers hand us 8 bytes on
+            # the final-reply path) — re-reading it from the socket would
+            # consume message bytes as a garbage length
+            if len(head) >= 8:
+                (ln,) = struct.unpack("<I", head[4:8])
+                extra = head[8:]
+            else:
+                (ln,) = struct.unpack("<I", self._recv_exact(sock, 4))
+                extra = b""
+            msg = (extra + self._recv_exact(sock, ln - len(extra))).decode()
             raise RuntimeError(f"external index server error: {msg}")
         return head
 

@@ -214,17 +214,36 @@ class _Handler(BaseHTTPRequestHandler):
             col.index = None
             return self._reply(200, {"dropped": col.name})
         if sub == "/pq" and method == "POST":
+            # quantize the collection: train a codebook on the stored vectors
+            # and REBUILD the index as a PQ index so subsequent /search calls
+            # run ADC over codes — the reference's pq route quantizes the
+            # actual table (lantern_cli/src/http_server/pq.rs), not metadata
             if col.index is None or col.index.size == 0:
                 return self._err(400, "collection empty")
-            vecs = np.asarray(col.index._eng.vectors[: col.index.size])
-            from lantern_tpu.quant.pq import train_codebook
+            import dataclasses
 
             b = self._body()
-            nsub = int(b.get("num_subvectors", max(1, col.dim // 4)))
-            cb = train_codebook(vecs, num_subvectors=nsub,
-                                num_centroids=int(b.get("num_centroids", 256)))
-            col.pq_codebook = cb
-            return self._reply(200, {"codebook": list(cb.centroids.shape)})
+            with col.lock:
+                old = col.index
+                n = old.size
+                vecs = np.asarray(old._eng.vectors[:n], np.float32).copy()
+                labels = np.asarray(old._eng.labels[:n]).copy()
+                dead = labels[np.asarray(old._eng.deleted[:n]).astype(bool)]
+                nsub = int(b.get("num_subvectors", max(1, col.dim // 4)))
+                ncent = min(int(b.get("num_centroids", 256)), n)
+                params = dataclasses.replace(
+                    old.params, pq=True, num_subvectors=nsub, num_centroids=ncent
+                )
+                new_ix = Index(params, capacity=max(n, 8))
+                new_ix.train_pq(vecs)
+                new_ix.add(vecs, labels=labels)
+                if len(dead):
+                    new_ix.delete(dead)
+                col.index = new_ix
+            cb = new_ix._codebook
+            return self._reply(200, {
+                "codebook": list(cb.centroids.shape), "requantized": n,
+            })
         return self._err(404, f"no route {method} {sub}")
 
     def do_GET(self):

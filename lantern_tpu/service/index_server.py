@@ -213,9 +213,13 @@ class IndexServer:
             vec = np.frombuffer(rest[4:], dtype)
             failure_point("_handle_inner", "on_tuple")
             if count >= capacity:
-                raise proto.ProtocolError(
-                    f"capacity {capacity} exceeded (estimated_capacity too low)"
-                )
+                # the stream exceeded estimated_capacity: double, like the
+                # reference server (server.rs:243-247 under RwLock write).
+                # Flush first so no add runs concurrently with the grow.
+                await flush()
+                capacity *= 2
+                await loop.run_in_executor(None, eng.grow, capacity)
+                self.log.info(f"capacity doubled to {capacity}")
             vec_buf.append(vec)
             lab_buf.append(label)
             count += 1

@@ -29,19 +29,18 @@ from lantern_tpu.config import HnswParams, Metric, QuantKind
 from lantern_tpu.utils.failpoints import failure_point
 
 HEADER_MAGIC = 0xA47E60DB  # same magic as the reference header page
-HEADER_VERSION = 1
-_HDR_FMT = "<IIiiiiiiiqqiiiiQ"  # see _pack_header
-_HDR_SIZE = struct.calcsize(_HDR_FMT)
-
+HEADER_VERSION = 2
+_HDR_V1_BODY = "<iiiiiiiqqiiiiQ"  # dim..nsub (after magic+version)
+_HDR_V2_EXTRA = "<QQ"  # log_generation, log_lsn
 _LOG_MAGIC = 0xA47E60DC
+_LOG_VERSION = 2  # v2 log header carries a generation id
 _LOG_REC_HDR = "<QII"  # label, payload bytes, crc32(payload)
 
 
-def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width) -> bytes:
-    return struct.pack(
-        _HDR_FMT,
-        HEADER_MAGIC,
-        HEADER_VERSION,
+def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width,
+                 log_generation: int = 0, log_lsn: int = 0) -> bytes:
+    return struct.pack("<II", HEADER_MAGIC, HEADER_VERSION) + struct.pack(
+        _HDR_V1_BODY,
         p.dim,
         width,
         p.m,
@@ -56,21 +55,31 @@ def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width) -> bytes:
         int(p.pq),
         p.num_centroids if p.pq else 0,
         p.effective_num_subvectors if p.pq else 0,
-    )
+    ) + struct.pack(_HDR_V2_EXTRA, log_generation, log_lsn)
 
 
-def _unpack_header(buf: bytes):
-    (
-        magic, version, dim, width, m, efc, ef, metric, quant, n, n_upper,
-        entry, max_level, pq, ncent, nsub,
-    ) = struct.unpack(_HDR_FMT, buf)
+def _read_header(f):
+    """Version-dispatching header read (v1 snapshots upgrade on load; unknown
+    future versions error with the reference's 'rebuild' message,
+    scan.c:103-105 / sql/updates migration story)."""
+    magic, version = struct.unpack("<II", f.read(8))
     if magic != HEADER_MAGIC:
         raise ValueError(f"not a lantern-tpu snapshot (magic {magic:#x})")
-    if version != HEADER_VERSION:
+    if version not in (1, 2):
         raise ValueError(
-            f"snapshot version {version} != supported {HEADER_VERSION}; "
-            "please rebuild the index"  # parity with scan.c:103-105
+            f"snapshot version {version} is newer than supported "
+            f"{HEADER_VERSION}; please rebuild the index"
         )
+    (
+        dim, width, m, efc, ef, metric, quant, n, n_upper,
+        entry, max_level, pq, ncent, nsub,
+    ) = struct.unpack(_HDR_V1_BODY, f.read(struct.calcsize(_HDR_V1_BODY)))
+    if version >= 2:
+        log_generation, log_lsn = struct.unpack(
+            _HDR_V2_EXTRA, f.read(struct.calcsize(_HDR_V2_EXTRA))
+        )
+    else:  # v1 -> v2 upgrade: no log bookkeeping existed; replay everything
+        log_generation, log_lsn = 0, 0
     params = HnswParams(
         dim=dim,
         m=m,
@@ -82,7 +91,7 @@ def _unpack_header(buf: bytes):
         num_centroids=ncent or 256,
         num_subvectors=nsub,
     )
-    return params, width, n, n_upper, entry, max_level
+    return params, width, n, n_upper, entry, max_level, log_generation, log_lsn
 
 
 def _write_arr(f, arr: np.ndarray):
@@ -113,21 +122,27 @@ _ARRAYS = (
 )
 
 
-def save_snapshot(engine, path: str, pq_codebook=None):
-    """Persist a Host/Native HNSW engine. Atomic via rename.
+def save_snapshot(engine, path: str, pq_codebook=None, log_state=None):
+    """Persist a Host/Native HNSW engine. Atomic via fsync + rename.
 
     ``pq_codebook``: centroid array [S, K, dsub] persisted with the index
     when params.pq (the reference persists its codebook as a read-only SQL
     table guarded by a trigger, lantern.sql:244-250).
+
+    ``log_state``: (generation, lsn) of the InsertLog whose records are
+    already folded into this engine — recorded in the header so a crash
+    between this rename and the log truncate can't replay them twice.
     """
     n = engine.n
     n_upper = max(engine.n_upper, 1)
     width = engine.vectors.shape[1]
     if engine.p.pq and pq_codebook is None:
         raise ValueError("pq index snapshot requires its codebook")
+    log_generation, log_lsn = log_state if log_state else (0, 0)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(_pack_header(engine.p, n, n_upper, engine.entry, engine.max_level, width))
+        f.write(_pack_header(engine.p, n, n_upper, engine.entry, engine.max_level,
+                             width, log_generation, log_lsn))
         _write_arr(f, engine.vectors[:n])
         _write_arr(f, engine.neighbors0[:n])
         _write_arr(f, engine.counts0[:n])
@@ -141,22 +156,43 @@ def save_snapshot(engine, path: str, pq_codebook=None):
             _write_arr(f, np.asarray(pq_codebook, np.float32))
         # crash site: everything written but not yet visible (failure_point.h idiom)
         failure_point("save_snapshot", "before_rename")
+        f.flush()
+        os.fsync(f.fileno())  # rename-atomicity needs the data on disk first
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(os.path.abspath(path)))
+
+
+def _fsync_dir(dirpath: str):
+    try:
+        dfd = os.open(dirpath, os.O_RDONLY)
+    except OSError:
+        return  # platform without directory fds
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0,
-                  return_codebook: bool = False):
+                  return_codebook: bool = False, return_log_state: bool = False):
     """Load a snapshot into a fresh engine (native C++ or python).
 
-    With ``return_codebook=True`` returns (engine, codebook-or-None).
+    With ``return_codebook=True`` returns (engine, codebook-or-None);
+    ``return_log_state=True`` appends the header's (log_generation, log_lsn).
     """
     with open(path, "rb") as f:
-        params, width, n, n_upper, entry, max_level = _unpack_header(f.read(_HDR_SIZE))
+        (params, width, n, n_upper, entry, max_level,
+         log_generation, log_lsn) = _read_header(f)
         arrs = {name: _read_arr(f) for name in _ARRAYS}
         codebook = _read_arr(f) if params.pq else None
 
     def _ret(ix):
-        return (ix, codebook) if return_codebook else ix
+        out = (ix,)
+        if return_codebook:
+            out = out + (codebook,)
+        if return_log_state:
+            out = out + ((log_generation, log_lsn),)
+        return out if len(out) > 1 else ix
 
     cap = n + max(extra_capacity, 0)
     if engine == "native":
@@ -222,11 +258,25 @@ class InsertLog:
         self.width = width
         self.dtype = np.dtype(dtype)
         self._payload = self.width * self.dtype.itemsize
-        new = not os.path.exists(path)
-        self._f = open(path, "ab")
-        if new:
-            self._f.write(struct.pack("<II", _LOG_MAGIC, HEADER_VERSION))
+        if os.path.exists(path) and os.path.getsize(path) > 0:
+            # adopt the existing generation and count its valid records so
+            # the next snapshot records a correct LSN
+            _, _, self.generation, self.count = self._scan(path, width, self.dtype)
+            self._f = open(path, "ab")
+        else:
+            self.generation = self._new_generation()
+            self.count = 0
+            self._f = open(path, "wb")
+            self._write_log_header(self._f, self.generation)
             self._f.flush()
+
+    @staticmethod
+    def _new_generation() -> int:
+        return int.from_bytes(os.urandom(8), "little") or 1
+
+    @staticmethod
+    def _write_log_header(f, generation: int):
+        f.write(struct.pack("<IIQ", _LOG_MAGIC, _LOG_VERSION, generation))
 
     def append(self, vecs: np.ndarray, labels: np.ndarray):
         vecs = np.ascontiguousarray(vecs, self.dtype)
@@ -237,22 +287,38 @@ class InsertLog:
             # crash site: header written, payload missing -> torn record
             failure_point("insert_log_append", "mid_record")
             self._f.write(raw)
+        self.count += len(labels)
         self._f.flush()
         os.fsync(self._f.fileno())
 
     def close(self):
         self._f.close()
 
+    @property
+    def state(self) -> tuple[int, int]:
+        """(generation, lsn) to stamp into a snapshot that folds this log."""
+        return self.generation, self.count
+
     def truncate(self):
-        """Reset after folding the log into a snapshot."""
+        """Reset after folding the log into a snapshot. A fresh generation id
+        distinguishes post-truncate records from the pre-snapshot ones the
+        snapshot header's (generation, lsn) refers to."""
         self._f.close()
+        self.generation = self._new_generation()
+        self.count = 0
         with open(self.path, "wb") as f:
-            f.write(struct.pack("<II", _LOG_MAGIC, HEADER_VERSION))
+            self._write_log_header(f, self.generation)
+            f.flush()
+            os.fsync(f.fileno())
         self._f = open(self.path, "ab")
 
-    @classmethod
-    def replay(cls, path: str, width: int, dtype=np.float32):
-        """Returns (vectors [n, width], labels [n]); tolerates a torn tail."""
+    @staticmethod
+    def _scan(path: str, width: int, dtype):
+        """Parse a log file -> (vecs, labels, generation, n_valid_records).
+
+        Tolerates a torn tail record (truncated by CRC). Accepts both v1
+        (no generation) and v2 log headers.
+        """
         dtype = np.dtype(dtype)
         payload = width * dtype.itemsize
         hdr = struct.calcsize(_LOG_REC_HDR)
@@ -261,6 +327,10 @@ class InsertLog:
             magic_ver = f.read(8)
             if len(magic_ver) < 8 or struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
                 raise ValueError("not an insert log")
+            version = struct.unpack("<II", magic_ver)[1]
+            generation = 0
+            if version >= 2:
+                (generation,) = struct.unpack("<Q", f.read(8))
             while True:
                 h = f.read(hdr)
                 if len(h) < hdr:
@@ -272,5 +342,21 @@ class InsertLog:
                 vecs.append(np.frombuffer(raw, dtype))
                 labels.append(label)
         if not vecs:
-            return np.empty((0, width), dtype), np.empty(0, np.uint64)
-        return np.stack(vecs), np.array(labels, np.uint64)
+            return np.empty((0, width), dtype), np.empty(0, np.uint64), generation, 0
+        return np.stack(vecs), np.array(labels, np.uint64), generation, len(labels)
+
+    @classmethod
+    def replay(cls, path: str, width: int, dtype=np.float32, snapshot_state=None):
+        """Returns (vectors [n, width], labels [n]); tolerates a torn tail.
+
+        ``snapshot_state``: the loading snapshot's (generation, lsn). Records
+        already folded into that snapshot (same generation, index < lsn) are
+        skipped — closes the crash window between snapshot rename and log
+        truncate where replay would double-insert.
+        """
+        vecs, labels, generation, _ = cls._scan(path, width, dtype)
+        if snapshot_state is not None:
+            snap_gen, snap_lsn = snapshot_state
+            if snap_gen and snap_gen == generation and snap_lsn > 0:
+                vecs, labels = vecs[snap_lsn:], labels[snap_lsn:]
+        return vecs, labels

@@ -2,15 +2,27 @@
 
 The reference wraps the fastbloom crate's bitmap with casts from integer
 arrays (bloom.rs:8-41) and uses it for BM25 doc-membership approximation.
-Double-hashing (Kirsch–Mitzenmacher) over blake2, numpy-vectorized.
+Double-hashing (Kirsch–Mitzenmacher) over a vectorized splitmix64 finalizer
+— the BM25 popular-term path exists precisely because postings are huge, so
+hashing must not loop per doc id in Python.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+        return z ^ (z >> np.uint64(31))
 
 
 class Bloom:
@@ -27,16 +39,14 @@ class Bloom:
         return cls(m, k)
 
     def _hashes(self, items: np.ndarray) -> np.ndarray:
-        """[n] uint64 items -> [n, k] bit positions."""
+        """[n] uint64 items -> [n, k] bit positions (fully vectorized)."""
         items = np.asarray(items, np.uint64)
-        h1 = np.empty(len(items), np.uint64)
-        h2 = np.empty(len(items), np.uint64)
-        for i, it in enumerate(items):
-            d = hashlib.blake2b(int(it).to_bytes(8, "little"), digest_size=16).digest()
-            h1[i] = int.from_bytes(d[:8], "little")
-            h2[i] = int.from_bytes(d[8:], "little") | 1
+        h1 = _splitmix64(items)
+        h2 = _splitmix64(items ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
         k = np.arange(self.num_hashes, dtype=np.uint64)
-        return ((h1[:, None] + k[None, :] * h2[:, None]) % np.uint64(self.num_bits)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mixed = (h1[:, None] + k[None, :] * h2[:, None]) & _MASK
+        return (mixed % np.uint64(self.num_bits)).astype(np.int64)
 
     def add(self, items) -> "Bloom":
         pos = self._hashes(np.atleast_1d(np.asarray(items, np.uint64))).ravel()

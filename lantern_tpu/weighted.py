@@ -49,9 +49,7 @@ def weighted_search(
         if weight == 0:
             continue
         eng = ix._eng
-        lab_all = np.asarray(eng.labels[: eng.n])
-        lookup = {int(label): i for i, label in enumerate(lab_all)}
-        rows = np.array([lookup.get(int(c), -1) for c in cand])
+        rows = ix.rows_for_labels(cand)  # cached O(log n) resolution
         ok = rows >= 0
         vecs = np.asarray(eng.vectors[: eng.n])[np.maximum(rows, 0)]
         q = np.asarray(q, vecs.dtype)

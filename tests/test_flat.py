@@ -1,0 +1,99 @@
+"""Flat MXU-scan search path (flat.py) — correctness vs the exact oracle.
+
+The TPU-native fast path (see flat.py docstring): dense rank-equivalent
+scoring + top-k. On the CPU test backend approx_max_k falls back to exact,
+so these tests pin exact semantics; TPU perf is covered by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lantern_tpu.config import HnswParams, Metric, QuantKind
+from lantern_tpu.flat import flat_search, flat_search_graph
+from lantern_tpu.index import Index
+from lantern_tpu.ops import exact_search
+
+
+@pytest.mark.parametrize("metric", [Metric.L2SQ, Metric.COS])
+@pytest.mark.parametrize("block", [None, 100])  # one-shot and blocked paths
+def test_flat_matches_oracle(rng, metric, block):
+    base = rng.standard_normal((700, 24)).astype(np.float32)
+    q = rng.standard_normal((9, 24)).astype(np.float32)
+    nsq = (base * base).sum(1)
+    d, ids = flat_search(
+        jnp.asarray(base), jnp.asarray(nsq), jnp.asarray(q),
+        k=10, metric=int(metric), exact=True, block=block,
+    )
+    od, oids = exact_search(q, base, k=10, metric=metric)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oids))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(od), rtol=2e-4, atol=2e-4)
+
+
+def test_flat_hamming(rng):
+    base = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)
+    q = base[:5]
+    d, ids = flat_search(
+        jnp.asarray(base), jnp.zeros(300, jnp.float32), jnp.asarray(q),
+        k=3, metric=int(Metric.HAMMING), exact=True, block=64,
+    )
+    assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
+    assert (np.asarray(d)[:, 0] == 0).all()
+
+
+def test_flat_deleted_mask(rng):
+    base = rng.standard_normal((200, 8)).astype(np.float32)
+    nsq = (base * base).sum(1)
+    deleted = np.zeros(200, bool)
+    deleted[7] = True
+    d, ids = flat_search(
+        jnp.asarray(base), jnp.asarray(nsq), jnp.asarray(base[7:8]),
+        k=5, metric=int(Metric.L2SQ), exact=True,
+        deleted=jnp.asarray(deleted),
+    )
+    assert 7 not in np.asarray(ids)[0]
+
+
+def test_flat_blocked_tail(rng):
+    """n not divisible by block exercises the tail merge."""
+    base = rng.standard_normal((257, 8)).astype(np.float32)
+    q = base[250:252] + 1e-4
+    nsq = (base * base).sum(1)
+    d, ids = flat_search(
+        jnp.asarray(base), jnp.asarray(nsq), jnp.asarray(q),
+        k=3, metric=int(Metric.L2SQ), exact=True, block=64,
+    )
+    assert (np.asarray(ids)[:, 0] == [250, 251]).all()
+
+
+def test_index_flat_dispatch(rng):
+    """Index.search(mode='auto') routes through the flat scan and agrees
+    with graph mode on the easy hits; tombstones stay excluded."""
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=512)
+    ix.add(base)
+    d_f, lab_f = ix.search(base[:6], k=5, mode="flat")
+    d_a, lab_a = ix.search(base[:6], k=5, mode="auto")
+    d_g, lab_g = ix.search(base[:6], k=5, ef=64, mode="graph")
+    np.testing.assert_array_equal(lab_f, lab_a)  # auto picked flat
+    assert (lab_f[:, 0] == np.arange(6)).all()
+    assert (lab_g[:, 0] == np.arange(6)).all()
+    ix.delete(np.array([2], np.uint64))
+    _, lab = ix.search(base[2:3], k=5, mode="flat")
+    assert 2 not in lab[0]
+
+
+def test_flat_graph_quant_paths(rng):
+    """bf16 and i8 stored graphs run through the flat path."""
+    from lantern_tpu.graph.device import to_device
+    from lantern_tpu.native import NativeHnsw
+
+    base = rng.standard_normal((400, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=32)
+    eng = NativeHnsw(p, capacity=400)
+    eng.add(base)
+    for kwargs in ({"dtype": jnp.bfloat16}, {"quant": QuantKind.I8}):
+        g = to_device(eng, **kwargs)
+        d, ids, labels = flat_search_graph(g, jnp.asarray(base[:4]), k=3, exact=True)
+        assert (np.asarray(ids)[:, 0] == np.arange(4)).all()

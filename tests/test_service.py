@@ -87,27 +87,107 @@ def test_router_redirect(rng):
             assert ix.size == 100
 
 
+def test_capacity_doubling(rng):
+    """Streaming 2x the declared estimated_capacity must succeed — the
+    server doubles the engine instead of erroring (server.rs:243-247)."""
+    base = rng.standard_normal((200, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    srv = IndexServer(port=0, status_port=None, add_batch=32)
+    with _ServerThread(srv):
+        client = ExternalIndexClient("127.0.0.1", srv.port)
+        from lantern_tpu.service import protocol as proto
+
+        client.connect()
+        init = proto.InitParams.from_hnsw_params(p, 100)  # declare only half
+        sock = client._sock
+        sock.sendall(init.pack())
+        for i in range(200):
+            sock.sendall(proto.pack_tuple(i, base[i].tobytes()))
+        sock.sendall(proto.pack_end())
+        head = client._check_error_frame(client._recv_exact(sock, 8), sock)
+        import struct
+
+        (count,) = struct.unpack("<Q", head)
+        assert count == 200
+        (size,) = struct.unpack("<Q", client._recv_exact(sock, 8))
+        data = client._recv_exact(sock, size)
+        client.close()
+    import tempfile
+
+    from lantern_tpu.index import Index
+
+    with tempfile.NamedTemporaryFile(suffix=".ldb") as tf:
+        tf.write(data)
+        tf.flush()
+        ix = Index.load(tf.name)
+        assert ix.size == 200
+        ix.validate().raise_if_failed()
+
+
 def test_server_error_frame(rng):
-    """Capacity overflow on the server must surface as a client error."""
+    """A server-side failure mid-stream must surface as a client error
+    carrying the server's actual message (ERR frame parse, not garbage)."""
     base = rng.standard_normal((50, 8)).astype(np.float32)
     p = HnswParams(dim=8, m=4, ef_construction=16)
     srv = IndexServer(port=0, status_port=None)
     with _ServerThread(srv):
-        client = ExternalIndexClient("127.0.0.1", srv.port)
-        client.connect()
-        from lantern_tpu.service import protocol as proto
+        failure_point_enable("_handle_inner", "on_tuple",
+                             dont_trigger_first_nr=49)
+        try:
+            with pytest.raises((RuntimeError, ConnectionError)) as exc:
+                ExternalIndexClient("127.0.0.1", srv.port).build(base, p)
+        finally:
+            failure_point_disable_all()
+        if isinstance(exc.value, RuntimeError):
+            # when the frame wins the race with the TCP reset, the real
+            # server message must come through intact
+            assert "failure point" in str(exc.value)
 
-        init = proto.InitParams.from_hnsw_params(p, 10)  # lie: capacity 10
-        client._sock.sendall(init.pack())
-        # the server replies with an ERR frame then closes; depending on
-        # timing the client sees the frame or a TCP reset (RST discards
-        # buffered data when the server closes with unread inbound bytes)
-        with pytest.raises((RuntimeError, ConnectionError)):
-            for i in range(50):
-                client._sock.sendall(proto.pack_tuple(i, base[i].tobytes()))
-            client._sock.sendall(proto.pack_end())
-            head = client._recv_exact(client._sock, 8)
-            client._check_error_frame(head, client._sock)
+
+def _self_signed_ssl_contexts(tmp_path):
+    """Generate a self-signed cert; return (server_ctx, client_ctx)."""
+    import ssl
+    import subprocess
+
+    cert = str(tmp_path / "srv.crt")
+    key = str(tmp_path / "srv.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj",
+         "/CN=127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(cert, key)
+    client_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    client_ctx.check_hostname = False
+    client_ctx.verify_mode = ssl.CERT_NONE  # reference test uses a
+    # no-verify verifier too (external_index_server_test.rs:26-78)
+    return server_ctx, client_ctx
+
+
+def test_tls_roundtrip(rng, tmp_path):
+    """TLS client <-> server build round-trip with a self-signed cert —
+    parity with external_index_server_test.rs:26-78."""
+    server_ctx, client_ctx = _self_signed_ssl_contexts(tmp_path)
+    base = rng.standard_normal((120, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    srv = IndexServer(port=0, status_port=None, ssl_context=server_ctx)
+    with _ServerThread(srv):
+        client = ExternalIndexClient("127.0.0.1", srv.port,
+                                     ssl_context=client_ctx)
+        data = client.build(base, p)
+    import tempfile
+
+    from lantern_tpu.index import Index
+
+    with tempfile.NamedTemporaryFile(suffix=".ldb") as tf:
+        tf.write(data)
+        tf.flush()
+        ix = Index.load(tf.name)
+        assert ix.size == 120
+        d, labels = ix.search(base[:2], k=1, ef=16)
+        assert (labels[:, 0] == [0, 1]).all()
 
 
 def test_failure_point_in_client(rng):

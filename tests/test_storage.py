@@ -215,3 +215,65 @@ def test_crash_atomicity_failure_points(tmp_path, rng):
         recovered.validate().raise_if_failed()
     finally:
         failure_point_disable_all()
+
+
+def test_load_v1_snapshot_fixture():
+    """A checked-in HEADER_VERSION=1 snapshot must load (upgrade-on-load) —
+    the analog of the reference's sql/updates migration path."""
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "snapshot_v1.ldb")
+    ix = load_snapshot(fixture)
+    assert ix.n == 50 and ix.p.dim == 16 and ix.p.m == 8
+    validate(ix).raise_if_failed()
+    # and a facade load works too (log bookkeeping defaults to replay-all)
+    ix2 = Index.load(fixture)
+    assert ix2.size == 50
+    d, labels = ix2.search(np.asarray(ix.vectors[3]), k=1, ef=32)
+    assert labels[0, 0] == 3 and d[0, 0] < 1e-4
+
+
+def test_save_writes_v2_header(small_engine, tmp_path):
+    from lantern_tpu.storage.snapshot import HEADER_VERSION
+
+    ix, _ = small_engine
+    path = str(tmp_path / "v2.ldb")
+    save_snapshot(ix, path, log_state=(1234, 7))
+    magic, version = struct.unpack("<II", open(path, "rb").read(8))
+    assert version == HEADER_VERSION == 2
+    _, state = load_snapshot(path, return_log_state=True)
+    assert state == (1234, 7)
+
+
+def test_crash_between_snapshot_and_log_truncate(tmp_path, rng):
+    """Crash after the snapshot rename but before the log truncate: replay
+    must skip the records the snapshot already folded in (no duplicates)."""
+    from lantern_tpu.utils.failpoints import (
+        FailurePointError,
+        failure_point_disable_all,
+        failure_point_enable,
+    )
+
+    base = rng.standard_normal((80, 8)).astype(np.float32)
+    snap = str(tmp_path / "b.ldb")
+    wal = str(tmp_path / "b.log")
+    ix = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=256,
+               log_path=wal)
+    ix.add(base)
+    try:
+        failure_point_enable("index_save", "before_log_truncate")
+        with pytest.raises(FailurePointError):
+            ix.save(snap)
+    finally:
+        failure_point_disable_all()
+    del ix
+    # log still holds all 80 records, but the snapshot's (generation, lsn)
+    # marks them as folded: replay must add nothing
+    recovered = Index.load(snap, log_path=wal, extra_capacity=64)
+    assert recovered.size == 80
+    lab = np.asarray(recovered._eng.labels[:80])
+    assert len(np.unique(lab)) == 80  # no duplicate-label nodes
+    recovered.validate().raise_if_failed()
+    # post-recovery appends land in the (adopted) log and replay correctly
+    recovered.add(base[:5] + 100.0)
+    del recovered
+    again = Index.load(snap, log_path=wal, extra_capacity=64)
+    assert again.size == 85
