@@ -1,17 +1,23 @@
-"""Headline benchmark: batched HNSW search QPS on TPU vs native CPU engine.
+"""Headline benchmark: TPU vector search vs the native CPU engine.
 
 Methodology (BASELINE.md): the reference publishes no numbers, so the
-baseline is the CPU HNSW engine (the role usearch plays for Lantern),
-measured in this run on the IDENTICAL graph at identical (M,
-ef_construction, ef). vs_baseline = TPU QPS / CPU QPS (target >= 10x/chip).
+baseline is the CPU HNSW engine (the role usearch plays for Lantern) at
+identical (M, ef_construction, ef) searching the IDENTICAL graph. Two TPU
+search strategies are measured (Index.search's planner dispatch):
+- flat:  dense MXU scan + approx top-k (flat.py) — the TPU-native fast path
+- graph: batched HNSW beam search (graph/search.py)
 
-Pipeline: synthetic data generated on device (host<->device transfers ride a
-slow tunnel in this environment), graph built by the TPU batched builder,
-TPU QPS measured device-resident; the same graph is exported to the native
-C++ engine for the per-query CPU baseline; recall measured vs the exact
-oracle over the same stored vectors.
+Evidence requirements (VERDICT r1 #1/#2):
+- both n=100k and n=1M on the same run
+- recall-vs-QPS over an ef sweep (64/128/256), not one ambiguous point
+- builder-quality proof: recall of the DEVICE-built graph vs a graph built
+  by the sequential native engine on the same data, same efs (delta <= 0.02)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+All timings use the tunnel-proof discipline: one jitted lax.scan over
+distinct query batches, completed by a scalar fetch (see CLAUDE.md).
+
+Prints ONE JSON line. Env knobs: BENCH_SKIP_1M=1, BENCH_SKIP_HOST_BUILD=1
+(the host build costs ~2 min of single-core time), BENCH_Q, BENCH_DIM.
 """
 
 from __future__ import annotations
@@ -22,122 +28,121 @@ import time
 
 import numpy as np
 
+K = 10
+EF_SWEEP = (64, 128, 256)
 
-def main():
-    n = int(os.environ.get("BENCH_N", 100_000))
-    dim = int(os.environ.get("BENCH_DIM", 128))
-    q = int(os.environ.get("BENCH_Q", 1024))
-    ef = int(os.environ.get("BENCH_EF", 64))
-    efc = int(os.environ.get("BENCH_EFC", 128))
-    m = int(os.environ.get("BENCH_M", 16))
-    build_batch = int(os.environ.get("BENCH_BUILD_BATCH", 1024))
-    k = 10
 
-    import ctypes
-
+def _timed_qps(search_fn, graph, q_batches, q, iters):
+    """One jitted scan over distinct query batches -> QPS."""
     import jax
-
-    # persistent compilation cache: compiles through this environment's
-    # remote-compile tunnel cost ~1 min each; cache them across runs
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/lantern_tpu_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — older jax without these flags
-        pass
-
     import jax.numpy as jnp
 
-    from lantern_tpu.config import HnswParams
-    from lantern_tpu.graph.build_device import build_on_device
-    from lantern_tpu.graph.search import search_batched
-    from lantern_tpu.native import NativeHnsw, get_lib
-    from lantern_tpu.ops import exact_search
-
-    params = HnswParams(dim=dim, m=m, ef_construction=efc)
-    key = jax.random.PRNGKey(0)
-    base = jax.random.normal(key, (n, dim), jnp.float32)
-    queries = jax.random.normal(jax.random.PRNGKey(7), (q, dim), jnp.float32)
-    jax.block_until_ready((base, queries))
-
-    # ---- TPU build ----
-    t0 = time.perf_counter()
-    g = build_on_device(base, params, batch=build_batch, seed=0)
-    jax.block_until_ready(g.neighbors0)
-    build_s = time.perf_counter() - t0
-
-    # ---- TPU batched QPS ----
-    # bf16 storage (+25% at equal recall); optional BFS locality relabeling
-    # (helps at ~200k-500k node counts where the hot prefix fits cache;
-    # neutral at 1M — measured) via BENCH_REORDER=1
-    import dataclasses
-
-    g_search = g
-    if os.environ.get("BENCH_REORDER") == "1":
-        from lantern_tpu.graph.reorder import reorder_bfs
-
-        g_search = reorder_bfs(g_search)
-    g_search = dataclasses.replace(
-        g_search, vectors=g_search.vectors.astype(jnp.bfloat16)
-    )
-    expand = int(os.environ.get("BENCH_EXPAND", 2))
-    d, ids, _ = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
-    jax.block_until_ready(d)  # compile
-    # distinct query batches per timing iteration: this environment's runtime
-    # short-circuits repeated identical dispatches, which fakes huge QPS
-    # Timing discipline for this environment: block_until_ready is not a
-    # reliable completion barrier through the device tunnel and eager per-op
-    # dispatch is expensive, so the whole measurement is ONE jitted scan over
-    # distinct query batches, completed by a single scalar fetch.
-    iters = 10
-    q_batches = jnp.stack(
-        [
-            jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
-            for i in range(iters)
-        ]
-    )
-
-    # the graph is an ARGUMENT (closure capture would embed it as a compile
-    # constant — multi-GB compile payloads overflow the remote compiler)
     @jax.jit
-    def timed_searches(graph, qbs):
+    def timed(graph, qbs):
         def body(acc, qb):
-            dd, _, _ = search_batched(graph, qb, k=k, ef=ef, expand=expand)
+            dd = search_fn(graph, qb)
             return acc + jnp.sum(jnp.where(jnp.isfinite(dd), dd, 0)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), qbs)
         return acc
 
-    _ = float(timed_searches(g_search, q_batches))  # compile + warm
+    _ = float(timed(graph, q_batches))  # compile + warm
     t0 = time.perf_counter()
-    _ = float(timed_searches(g_search, q_batches + 1e-3))
-    tpu_qps = q * iters / (time.perf_counter() - t0)
+    _ = float(timed(graph, q_batches + 1e-3))
+    return q * iters / (time.perf_counter() - t0)
 
-    # ---- recall vs exact oracle over the same stored vectors ----
-    # compare LABELS (stable through the BFS relabeling), not internal ids
+
+def _recall(found_labels, true_ids):
+    return float(np.mean([
+        len(set(a[a >= 0].tolist()) & set(b.tolist())) / K
+        for a, b in zip(found_labels, true_ids)
+    ]))
+
+
+def _graph_labels_np(ids, labels):
     from lantern_tpu.graph.device import join_labels
 
+    out = join_labels(np.asarray(labels)).astype(np.int64)
+    return np.where(np.asarray(ids) >= 0, out, -1)
+
+
+def bench_config(n, dim, q, iters, host_build: bool):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lantern_tpu.config import HnswParams
+    from lantern_tpu.flat import flat_search_graph
+    from lantern_tpu.graph.build_device import build_on_device
+    from lantern_tpu.graph.search import search_batched
+    from lantern_tpu.native import NativeHnsw
+
+    params = HnswParams(dim=dim, m=16, ef_construction=128)
+    base = jax.random.normal(jax.random.PRNGKey(0), (n, dim), jnp.float32)
+    queries = jax.random.normal(jax.random.PRNGKey(7), (q, dim), jnp.float32)
+    jax.block_until_ready((base, queries))
+    out = {"n": n, "dim": dim, "m": 16, "ef_construction": 128}
+
+    # ---- device build ----
+    t0 = time.perf_counter()
+    g = build_on_device(base, params, batch=1024, seed=0)
+    jax.block_until_ready(g.neighbors0)
+    out["build_device_s"] = round(time.perf_counter() - t0, 1)
+    out["build_device_inserts_per_s"] = round(n / out["build_device_s"], 1)
+
+    # bf16 storage for the search paths (+25-30% QPS at equal recall)
+    g_search = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
+    expand = int(os.environ.get("BENCH_EXPAND", 2))
+    q_batches = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
+        for i in range(iters)
+    ])
+
+    # ---- exact ground truth (f32, exact top-k) for recall ----
+    from lantern_tpu.flat import flat_search
+
     nq_r = min(q, 256)
-    d, ids, labs = search_batched(g_search, queries, k=k, ef=ef, expand=expand)
-    _, true_ids = exact_search(queries[:nq_r], g.vectors, k=k)
-    found = join_labels(np.asarray(labs[:nq_r])).astype(np.int64)
-    found = np.where(np.asarray(ids[:nq_r]) >= 0, found, -1)
-    true_np = np.asarray(true_ids)
-    recall = float(
-        np.mean(
-            [
-                len(set(a[a >= 0].tolist()) & set(b.tolist())) / k
-                for a, b in zip(found, true_np)
-            ]
-        )
+    _, true_ids = flat_search(
+        base, jnp.sum(base * base, axis=1), queries[:nq_r], k=K, exact=True
     )
+    true_np = np.asarray(true_ids)
+
+    # ---- flat scan: QPS + recall ----
+    def flat_fn(graph, qb):
+        d, _, _ = flat_search_graph(graph, qb, k=K, recall_target=0.95)
+        return d
+
+    out["flat"] = {}
+    out["flat"]["qps"] = round(_timed_qps(flat_fn, g_search, q_batches, q, iters), 1)
+    _, ids_f, labs_f = flat_search_graph(g_search, queries[:nq_r], k=K,
+                                         recall_target=0.95)
+    out["flat"]["recall"] = round(_recall(_graph_labels_np(ids_f, labs_f), true_np), 4)
+
+    # ---- graph search: ef sweep, QPS + recall (device-built graph) ----
+    out["graph"] = {}
+    for ef in EF_SWEEP:
+        def graph_fn(graph, qb, ef=ef):
+            d, _, _ = search_batched(graph, qb, k=K, ef=ef, expand=expand)
+            return d
+
+        qps = _timed_qps(graph_fn, g_search, q_batches, q, iters)
+        _, ids_g, labs_g = search_batched(g_search, queries[:nq_r], k=K,
+                                          ef=ef, expand=expand)
+        out["graph"][f"ef{ef}"] = {
+            "qps": round(qps, 1),
+            "recall_device_build": round(
+                _recall(_graph_labels_np(ids_g, labs_g), true_np), 4
+            ),
+        }
 
     # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
+    import ctypes
+
+    from lantern_tpu.native import get_lib
+
     ix = NativeHnsw(params, capacity=n, seed=0)
     lib = get_lib()
     nb0 = np.asarray(g.neighbors0[:n])
-    counts0 = (nb0 >= 0).sum(1).astype(np.int32)
     up = np.asarray(g.upper_neighbors)
     slots = np.asarray(g.upper_slot[:n])
     used = slots[slots >= 0]
@@ -145,7 +150,7 @@ def main():
     args = [
         np.ascontiguousarray(np.asarray(g.vectors[:n]), np.float32),
         np.ascontiguousarray(nb0, np.int32),
-        np.ascontiguousarray(counts0, np.int32),
+        np.ascontiguousarray((nb0 >= 0).sum(1).astype(np.int32), np.int32),
         np.ascontiguousarray(up[:n_upper], np.int32),
         np.ascontiguousarray((up[:n_upper] >= 0).sum(-1), np.int32),
         np.ascontiguousarray(slots, np.int32),
@@ -161,24 +166,74 @@ def main():
     q_np = np.asarray(queries[:200])
     t0 = time.perf_counter()
     for i in range(len(q_np)):
-        ix.search(q_np[i], k=k, ef=ef)
-    cpu_qps = len(q_np) / (time.perf_counter() - t0)
+        ix.search(q_np[i], k=K, ef=64)
+    out["cpu_qps_ef64"] = round(len(q_np) / (time.perf_counter() - t0), 1)
+    del ix
 
-    print(
-        json.dumps(
-            {
-                "metric": f"hnsw_search_qps_n{n}_d{dim}_m{m}_ef{ef}",
-                "value": round(tpu_qps, 1),
-                "unit": "QPS",
-                "vs_baseline": round(tpu_qps / cpu_qps, 2),
-                "cpu_qps": round(cpu_qps, 1),
-                "recall_at_10": round(recall, 4),
-                "build_s": round(build_s, 1),
-                "build_inserts_per_s": round(n / build_s, 1),
-                "device": str(jax.devices()[0]),
-            }
+    # ---- builder-quality proof: sequential host build on the same data ----
+    if host_build:
+        from lantern_tpu.graph.device import to_device
+
+        base_np = np.asarray(base)
+        hb = NativeHnsw(params, capacity=n, seed=0)
+        t0 = time.perf_counter()
+        hb.add(base_np, nthreads=1)  # sequential reference build
+        out["build_host_s"] = round(time.perf_counter() - t0, 1)
+        out["build_ratio_device_over_host"] = round(
+            out["build_host_s"] / out["build_device_s"], 2
         )
+        gh = to_device(hb, dtype=jnp.bfloat16)
+        for ef in EF_SWEEP:
+            _, ids_h, labs_h = search_batched(gh, queries[:nq_r], k=K,
+                                              ef=ef, expand=expand)
+            rec_h = _recall(_graph_labels_np(ids_h, labs_h), true_np)
+            entry = out["graph"][f"ef{ef}"]
+            entry["recall_host_build"] = round(rec_h, 4)
+            entry["recall_delta"] = round(
+                rec_h - entry["recall_device_build"], 4
+            )
+        del hb
+    return out
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/lantern_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
+
+    dim = int(os.environ.get("BENCH_DIM", 128))
+    q = int(os.environ.get("BENCH_Q", 1024))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    configs = {}
+    configs["n100k"] = bench_config(
+        100_000, dim, q, iters,
+        host_build=os.environ.get("BENCH_SKIP_HOST_BUILD") != "1",
     )
+    if os.environ.get("BENCH_SKIP_1M") != "1":
+        configs["n1m"] = bench_config(1_000_000, dim, q, iters, host_build=False)
+
+    head = configs.get("n1m", configs["n100k"])
+    flat_qps = head["flat"]["qps"]
+    cpu = head["cpu_qps_ef64"]
+    print(json.dumps({
+        "metric": f"flat_search_qps_n{head['n']}_d{dim}",
+        "value": flat_qps,
+        "unit": "QPS",
+        "vs_baseline": round(flat_qps / cpu, 2),
+        "flat_recall": head["flat"]["recall"],
+        "graph_qps_ef64": head["graph"]["ef64"]["qps"],
+        "graph_vs_baseline": round(head["graph"]["ef64"]["qps"] / cpu, 2),
+        "device": str(jax.devices()[0]),
+        "configs": configs,
+    }))
 
 
 if __name__ == "__main__":

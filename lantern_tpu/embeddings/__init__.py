@@ -80,6 +80,17 @@ class HashRuntime:
                 out[i] /= norm
         return out
 
+    def completion(self, prompt: str, model: str = "hash",
+                   system: str | None = None) -> str:
+        """Deterministic completion stand-in (zero-egress test runtime): the
+        daemon's completion-job plumbing (add_completion_job analog,
+        lantern_extras/src/daemon.rs:121-227) is what's under test, not a
+        model."""
+        digest = hashlib.blake2b(
+            f"{system or ''}\x00{prompt}".encode(), digest_size=8
+        ).hexdigest()
+        return f"completion:{digest}"
+
 
 class LocalTransformerRuntime:
     """Local HF-transformers embedding runtime (the reference's Ort analog).
@@ -199,6 +210,17 @@ def text_embedding(model: str, text: str, dim: int | None = None, **kw) -> np.nd
         return LocalTransformerRuntime(model_path=model, **kw).process([text])[0]
     rt = get_runtime(rt_name, model=model, **kw)
     return rt.process([text])[0]
+
+
+def llm_completion(prompt: str, model: str = "gpt-4o-mini",
+                   system: str | None = None, runtime: str = "openai",
+                   **kw) -> str:
+    """One-shot LLM completion (SQL fn llm_completion parity,
+    lantern_extras/src/embeddings.rs llm fns)."""
+    rt = get_runtime(runtime, **kw)
+    if not hasattr(rt, "completion"):
+        raise ValueError(f"runtime {runtime!r} has no completion support")
+    return rt.completion(prompt, model=model, system=system)
 
 
 def measure_speed(runtime, texts: list[str], repeats: int = 3) -> float:

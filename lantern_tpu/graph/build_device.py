@@ -85,7 +85,18 @@ def _graph_view(st: BuildState) -> DeviceGraph:
 
 
 def _pair_dists(vecs_a, sq_a, vecs_b, sq_b, metric: Metric):
-    """[B, C, d] x [B, E, d] -> [B, C, E] distances (l2sq/cos)."""
+    """[B, C, d] x [B, E, d] -> [B, C, E] distances (l2sq/cos/hamming).
+
+    For hamming, inputs are packed u32 words and the sq args are ignored
+    (XOR + popcount; no MXU path for bit ops)."""
+    if metric == Metric.HAMMING:
+        from lantern_tpu.ops.distance import _popcount_u32
+
+        x = jnp.bitwise_xor(
+            vecs_a[:, :, None, :].astype(jnp.uint32),
+            vecs_b[:, None, :, :].astype(jnp.uint32),
+        )
+        return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
     dots = jnp.einsum(
         "bcd,bed->bce",
         vecs_a.astype(jnp.float32),
@@ -430,10 +441,29 @@ def device_insert(
     """
     import jax.numpy as jnp
 
+    from lantern_tpu.config import QuantKind
+    from lantern_tpu.graph.device import QUANT_PQ
+
     metric = Metric(graph.metric)
-    if metric == Metric.HAMMING or graph.quant not in (0,):
-        raise NotImplementedError("device_insert supports f32 l2sq/cos graphs")
-    vectors = np.ascontiguousarray(np.asarray(vectors), np.float32)
+    if graph.quant == QUANT_PQ:
+        raise NotImplementedError(
+            "device_insert into PQ-coded graphs: decode is lossy; insert via "
+            "the host engine (Index facade) instead"
+        )
+    # quantized storage (bf16 / i8): run the insert rounds over an f32 view
+    # and re-quantize at the end — the graph geometry is defined by the
+    # stored (dequantized) values, so round-tripping is exact for i8 and
+    # idempotent for bf16
+    restore_quant = None
+    if graph.quant == int(QuantKind.I8):
+        restore_quant = QuantKind.I8
+        f32_vecs = graph.vectors.astype(jnp.float32) * graph.vec_scales[:, None]
+        graph = graph.replace(vectors=f32_vecs, vec_scales=None)
+    elif graph.vectors.dtype in (jnp.bfloat16, jnp.float16):
+        restore_quant = graph.vectors.dtype
+        graph = graph.replace(vectors=graph.vectors.astype(jnp.float32))
+    np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
+    vectors = np.ascontiguousarray(np.asarray(vectors), np_dtype)
     b_new, dim = vectors.shape
     n0 = int(graph.num_nodes)
     m = graph.m
@@ -470,10 +500,12 @@ def device_insert(
     vecs = pad(graph.vectors, new_cap, 0)
     vecs = jax.lax.dynamic_update_slice_in_dim(vecs, jnp.asarray(vectors), n0, axis=0)
     sqn = pad(graph.sq_norms, new_cap, 0)
-    sqn = jax.lax.dynamic_update_slice_in_dim(
-        sqn, jnp.einsum("nd,nd->n", jnp.asarray(vectors), jnp.asarray(vectors)),
-        n0, axis=0,
-    )
+    if metric == Metric.HAMMING:
+        new_sq = jnp.zeros((b_new,), jnp.float32)
+    else:
+        vf = jnp.asarray(vectors)
+        new_sq = jnp.einsum("nd,nd->n", vf, vf)
+    sqn = jax.lax.dynamic_update_slice_in_dim(sqn, new_sq, n0, axis=0)
     nbr0 = graph.neighbors0
     if new_cap != cap:  # re-pad with the dummy row at the new cap position
         nbr0 = jnp.concatenate(
@@ -532,13 +564,24 @@ def device_insert(
     deleted = jnp.concatenate(
         [graph.deleted[:n0], jnp.zeros((new_cap - n0,), bool)], axis=0
     )
+    # restore the original storage quantization (exact for i8 round trips,
+    # idempotent for bf16 — existing rows were already representable)
+    out_vecs = st.vectors
+    out_scales = None
+    if restore_quant == QuantKind.I8:
+        from lantern_tpu.quant.scalar import quantize_i8
+
+        out_vecs, out_scales = quantize_i8(st.vectors)
+    elif restore_quant is not None:
+        out_vecs = st.vectors.astype(restore_quant)
     return DeviceGraph(
-        vectors=st.vectors, sq_norms=st.sq_norms, neighbors0=st.neighbors0,
+        vectors=out_vecs, sq_norms=st.sq_norms, neighbors0=st.neighbors0,
         upper_neighbors=st.upper_neighbors, upper_slot=st.upper_slot,
         levels=st.levels, labels=lab, deleted=deleted,
         entry=st.entry, max_level=st.max_level,
         num_nodes=jnp.asarray(need, jnp.int32),
-        m=m, dim=dim, metric=int(metric), quant=graph.quant,
+        m=m, dim=graph.dim, metric=int(metric), quant=graph.quant,
+        vec_scales=out_scales,
         use_pallas=graph.use_pallas,
     )
 
@@ -562,16 +605,16 @@ def build_on_device(
     (hnsw.c:43-57) and the CLI's percent callbacks (pq/mod.rs:26-56).
     """
     metric = Metric(params.metric)
-    if metric == Metric.HAMMING:
-        raise NotImplementedError("device build supports l2sq/cos; build hamming on host")
+    store_dtype = jnp.uint32 if metric == Metric.HAMMING else jnp.float32
     if isinstance(vectors, jax.Array):
         # device-resident input: no host round trip (host<->device transfers
         # are the expensive path). Copy on device — the build state is
         # DONATED through the insert rounds, which would otherwise
         # invalidate the caller's array.
-        vec_dev = jnp.array(vectors, dtype=jnp.float32, copy=True)
+        vec_dev = jnp.array(vectors, dtype=store_dtype, copy=True)
     else:
-        vec_dev = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+        np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
+        vec_dev = jnp.asarray(np.ascontiguousarray(vectors, np_dtype))
     n, dim = vec_dev.shape
     m = params.m
     max_in = max_in or max(4, m // 2)
@@ -588,8 +631,11 @@ def build_on_device(
     upper_slot[has_upper] = np.arange(int(has_upper.sum()), dtype=np.int32)
     ucap = int(has_upper.sum()) + 1  # +1 dummy slot for masked writes
 
-    sq = jnp.einsum("nd,nd->n", vec_dev, vec_dev,
-                    preferred_element_type=jnp.float32)
+    if metric == Metric.HAMMING:
+        sq = jnp.zeros((n,), jnp.float32)
+    else:
+        sq = jnp.einsum("nd,nd->n", vec_dev, vec_dev,
+                        preferred_element_type=jnp.float32)
     first = next(ramped_batches(n, batch))[1]  # first round's live count
     st = BuildState(
         vectors=vec_dev,
@@ -602,7 +648,7 @@ def build_on_device(
         max_level=jnp.asarray(int(levels[:first].max()), jnp.int32),
         n=jnp.asarray(0, jnp.int32),
         m=m,
-        dim=dim,
+        dim=params.dim,
         metric=int(metric),
     )
 
@@ -665,6 +711,6 @@ def build_on_device(
         max_level=st.max_level,
         num_nodes=jnp.asarray(n, jnp.int32),
         m=m,
-        dim=dim,
+        dim=params.dim,
         metric=int(metric),
     )

@@ -56,7 +56,9 @@ class DeviceGraph:
     metric: int = struct.field(pytree_node=False, default=int(Metric.L2SQ))
     quant: int = struct.field(pytree_node=False, default=0)  # QuantKind / QUANT_PQ
     # route candidate distances through the fused Pallas gather kernel
-    # (ops/pallas_gather.py): ~6x over XLA's row gather at >=100k nodes
+    # (ops/pallas_gather.py). Measured in-loop on v5e: LOSES to XLA's own
+    # row gather (kept as an opt-in reference kernel; don't enable without
+    # fresh profile evidence)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property

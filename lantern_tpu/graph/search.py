@@ -38,14 +38,14 @@ LMAX = 16  # must match host_build.LMAX
 
 _INF = jnp.inf
 
-# Ascending-address (sorted) access paths: isolated microbenchmarks show
-# random row gathers collapsing to ~0.6 GB/s beyond ~256k rows while sorted
-# gathers hold 9+ GB/s (15x) — but IN-LOOP measurements at 1M showed the
-# sorted variants neutral-to-slower (2.9k -> 2.6k -> 2.0k QPS as each was
-# enabled), i.e. XLA schedules in-loop gathers differently than isolated
-# ones. The paths are kept, tested (threshold-monkeypatched), and DISABLED
-# by default pending in-context profiling evidence.
-SORT_GATHER_THRESHOLD = 1 << 62
+# Perf note (settled in r2): ascending-address "sorted gather" rewrites of
+# the in-loop adjacency/vector/visited accesses were tried and DELETED —
+# isolated microbenchmarks showed 15x on a 1M random gather, but in-loop
+# A/B measurement had them neutral-to-slower (2.9k -> 2.0k QPS at 1M as
+# they were enabled): XLA schedules in-loop gathers differently than
+# isolated ones. Large-table throughput goes through the flat MXU scan
+# (flat.py) instead; the graph path exists for PQ/ADC storage and
+# HBM-overflow scales.
 
 
 def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
@@ -88,59 +88,25 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
         xn = jnp.sqrt(graph.sq_norms[cand_ids])
         return 1.0 - part / jnp.maximum(qn * xn, 1e-30)
 
-    # Two regimes (measured):
-    # - small tables (<~256k rows): XLA's random row gather is fast
-    #   (cache/TLB resident) -> plain gather + MXU batched matvec wins.
-    # - big tables: random gathers collapse to ~0.6 GB/s; ascending-address
-    #   gathers stay at 9+ GB/s (15x on the isolated 1M chain). Sort the
-    #   flattened ids with positions, gather/compute on the sorted stream,
-    #   unsort only the scalar distances with a second cheap sort.
-    if graph.cap < SORT_GATHER_THRESHOLD:
-        vecs = graph.vectors[cand_ids]  # [Q, C, w]
-        if metric == Metric.HAMMING:
-            x = jnp.bitwise_xor(
-                queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32)
-            )
-            return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
-        dots = jnp.einsum(
-            "qd,qcd->qc",
-            queries.astype(jnp.float32),
-            vecs.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        if graph.vec_scales is not None:
-            dots = dots * graph.vec_scales[cand_ids]
-        if metric == Metric.L2SQ:
-            return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
-        qn = jnp.sqrt(q_sq)[:, None]
-        xn = jnp.sqrt(graph.sq_norms[cand_ids])
-        return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
-
-    q, c = cand_ids.shape
-    flat = cand_ids.reshape(-1)
-    pos = jnp.arange(q * c, dtype=jnp.int32)
-    s_ids, s_pos = jax.lax.sort((flat, pos), num_keys=1)
-    qidx = s_pos // c
+    vecs = graph.vectors[cand_ids]  # [Q, C, w]
     if metric == Metric.HAMMING:
-        g = graph.vectors[s_ids].astype(jnp.uint32)  # [QC, W]
-        x = jnp.bitwise_xor(queries[qidx].astype(jnp.uint32), g)
-        d = jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
-    else:
-        g = graph.vectors[s_ids].astype(jnp.float32)  # [QC, d]
-        dots = jnp.einsum(
-            "nd,nd->n", queries[qidx].astype(jnp.float32), g,
-            preferred_element_type=jnp.float32,
+        x = jnp.bitwise_xor(
+            queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32)
         )
-        if graph.vec_scales is not None:  # i8 codes: fold per-vector scale
-            dots = dots * graph.vec_scales[s_ids]
-        if metric == Metric.L2SQ:
-            d = q_sq[qidx] - 2.0 * dots + graph.sq_norms[s_ids]
-        else:  # cosine
-            qn = jnp.sqrt(q_sq[qidx])
-            xn = jnp.sqrt(graph.sq_norms[s_ids])
-            d = 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
-    _, d_orig = jax.lax.sort((s_pos, d), num_keys=1)
-    return d_orig.reshape(q, c)
+        return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
+    dots = jnp.einsum(
+        "qd,qcd->qc",
+        queries.astype(jnp.float32),
+        vecs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if graph.vec_scales is not None:
+        dots = dots * graph.vec_scales[cand_ids]
+    if metric == Metric.L2SQ:
+        return q_sq[:, None] - 2.0 * dots + graph.sq_norms[cand_ids]
+    qn = jnp.sqrt(q_sq)[:, None]
+    xn = jnp.sqrt(graph.sq_norms[cand_ids])
+    return 1.0 - dots / jnp.maximum(qn * xn, 1e-30)
 
 
 def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
@@ -314,38 +280,13 @@ def search_batched(
         )
         expanded = jnp.logical_or(expanded, jnp.any(sel_oh, axis=1))
 
-        # gather neighbor lists -> candidate block [Q, C]. Above the sorted-
-        # gather threshold (see _candidate_dists), issue the adjacency gather
-        # in ascending-address order and regroup per query with a sort
-        # (candidate order within a row is irrelevant downstream).
-        big = cap >= SORT_GATHER_THRESHOLD and q * vwords < 2**31
-        if big:
-            flat_exp = exp_ids.reshape(-1)                     # [Q*E]
-            qrow_e = jnp.repeat(jnp.arange(q, dtype=jnp.int32), expand)
-            s_exp, s_qrow = jax.lax.sort((flat_exp, qrow_e), num_keys=1)
-            rows_sorted = graph.neighbors0[s_exp]              # [Q*E, m0]
-            cand_q = jnp.repeat(s_qrow, m0)
-            _, nbrs_flat = jax.lax.sort(
-                (cand_q, rows_sorted.reshape(-1)), num_keys=1
-            )
-            nbrs = nbrs_flat.reshape(q, c)
-        else:
-            nbrs = graph.neighbors0[exp_ids].reshape(q, c)
+        # gather neighbor lists -> candidate block [Q, C]
+        nbrs = graph.neighbors0[exp_ids].reshape(q, c)
         valid = nbrs >= 0
         nbrs_c = jnp.where(valid, nbrs, cap)
         words = nbrs_c >> 5                                   # [Q, C]
         bits = jnp.uint32(1) << (nbrs_c & 31).astype(jnp.uint32)
-        if big:
-            # flat sorted gather of the visited words (row-wise take_along
-            # serializes; global ascending addresses don't)
-            gidx = (rowq * vwords + words).reshape(-1)
-            pos = jnp.arange(q * c, dtype=jnp.int32)
-            s_gidx, s_pos = jax.lax.sort((gidx, pos), num_keys=1)
-            old_s = visited.reshape(-1)[s_gidx]
-            _, old_flat = jax.lax.sort((s_pos, old_s), num_keys=1)
-            old = old_flat.reshape(q, c)
-        else:
-            old = jnp.take_along_axis(visited, words, axis=1)  # [Q, C] u32
+        old = jnp.take_along_axis(visited, words, axis=1)     # [Q, C] u32
         seen = (old & bits) != 0
         fresh = jnp.logical_and(valid, jnp.logical_not(seen))
         # dedup unconditionally: expanded nodes can share neighbors
@@ -362,18 +303,7 @@ def search_batched(
             jnp.where(same_word, contrib[:, None, :], jnp.uint32(0)), axis=2
         )
         newval = old | combined
-        if big:
-            # ascending-address scatter (duplicate indices carry identical
-            # values by construction, so write order is irrelevant)
-            s_gidx2, v_sorted = jax.lax.sort(
-                ((rowq * vwords + words).reshape(-1), newval.reshape(-1)),
-                num_keys=1,
-            )
-            visited = (
-                visited.reshape(-1).at[s_gidx2].set(v_sorted).reshape(q, vwords)
-            )
-        else:
-            visited = visited.at[rowq, words].set(newval)
+        visited = visited.at[rowq, words].set(newval)
 
         d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)

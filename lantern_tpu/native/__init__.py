@@ -22,20 +22,32 @@ _SRC = os.path.join(_HERE, "hnsw_engine.cpp")
 LMAX = 16
 
 
-def _build_lib() -> str:
+def _build_lib(sanitize: bool = False) -> str:
+    """Compile the engine (hash-keyed cache). ``sanitize=True`` builds an
+    ASAN+UBSAN variant — the reference runs sanitizer builds in CI
+    (.github/workflows/sanitizer-build-and-test.yaml,
+    lantern_hnsw/scripts/sanitizers/); tests/test_sanitizer.py drives this
+    one in a subprocess with the asan runtime preloaded."""
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     cache_dir = os.environ.get(
         "LANTERN_TPU_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "lantern_tpu_native")
     )
     os.makedirs(cache_dir, exist_ok=True)
-    so = os.path.join(cache_dir, f"libhnsw_{digest}.so")
+    tag = "_asan" if sanitize else ""
+    so = os.path.join(cache_dir, f"libhnsw_{digest}{tag}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-pthread", "-o", tmp, _SRC,
+            "-pthread",
         ]
+        if sanitize:
+            cmd += [
+                "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+                "-g", "-O1",
+            ]
+        cmd += ["-o", tmp, _SRC]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so)
     return so

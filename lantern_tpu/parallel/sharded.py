@@ -43,6 +43,8 @@ from lantern_tpu.graph.search import search_batched
 class ShardedIndex:
     graphs: DeviceGraph     # every array field has leading shard axis S
     global_ids: jax.Array   # [S, cap+1] int32: local slot -> global id (-1 pad)
+    # build params carried for lifecycle ops (save/insert); static metadata
+    params: HnswParams | None = struct.field(pytree_node=False, default=None)
 
 
 def init_multihost(coordinator_address: str | None = None,
@@ -104,8 +106,6 @@ def build_sharded(
 
     shards = []
     gids = []
-    max_n = 0
-    max_u = 0
     for si in range(s):
         idx = np.arange(si, n, s)
         eng = Engine(params, capacity=len(idx), seed=seed + si)
@@ -113,17 +113,21 @@ def build_sharded(
         eng.add(vectors[idx], labels=labels[idx], **kw)
         shards.append(eng)
         gids.append(idx.astype(np.int32))
-        max_n = max(max_n, eng.n)
-        max_u = max(max_u, max(eng.n_upper, 1))
+    return _stack_engines(shards, gids, params, mesh)
 
-    # stack to a common padded capacity
+
+def _stack_engines(shards, gids, params: HnswParams, mesh: Mesh) -> ShardedIndex:
+    """Stack per-shard host engines into mesh-sharded arrays (common padded
+    capacity; padding slots tombstoned so they never surface in results)."""
     from lantern_tpu.graph.host_build import LMAX
     from lantern_tpu.graph.device import _sq_norms_np
     from lantern_tpu.config import Metric
 
     metric = Metric(params.metric)
+    max_n = max(eng.n for eng in shards)
+    max_u = max(max(eng.n_upper, 1) for eng in shards)
     width = shards[0].vectors.shape[1]
-    S = s
+    S = len(shards)
     vec_np = np.zeros((S, max_n, width), shards[0].vectors.dtype)
     sqn_np = np.zeros((S, max_n), np.float32)
     nbr_np = np.full((S, max_n + 1, params.m0), -1, np.int32)
@@ -132,7 +136,6 @@ def build_sharded(
     lvl_np = np.zeros((S, max_n), np.int32)
     lab_np = np.zeros((S, max_n, 2), np.uint32)
     del_np = np.zeros((S, max_n), bool)
-    # padding slots are marked deleted so they never surface in results
     entry_np = np.zeros((S,), np.int32)
     maxl_np = np.zeros((S,), np.int32)
     nn_np = np.zeros((S,), np.int32)
@@ -154,26 +157,35 @@ def build_sharded(
         nn_np[si] = ni
         gid_np[si, :ni] = gids[si][:ni]
 
-    def put(x, spec):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    def put(x, spec=P("shard")):
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # multi-host mesh: each process materializes only its
+            # addressable shards (every process holds the full host arrays,
+            # built deterministically from the same inputs)
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+        return jax.device_put(jnp.asarray(x), sharding)
 
     graphs = DeviceGraph(
-        vectors=put(vec_np, P("shard")),
-        sq_norms=put(sqn_np, P("shard")),
-        neighbors0=put(nbr_np, P("shard")),
-        upper_neighbors=put(upn_np, P("shard")),
-        upper_slot=put(slt_np, P("shard")),
-        levels=put(lvl_np, P("shard")),
-        labels=put(lab_np, P("shard")),
-        deleted=put(del_np, P("shard")),
-        entry=put(entry_np, P("shard")),
-        max_level=put(maxl_np, P("shard")),
-        num_nodes=put(nn_np, P("shard")),
+        vectors=put(vec_np),
+        sq_norms=put(sqn_np),
+        neighbors0=put(nbr_np),
+        upper_neighbors=put(upn_np),
+        upper_slot=put(slt_np),
+        levels=put(lvl_np),
+        labels=put(lab_np),
+        deleted=put(del_np),
+        entry=put(entry_np),
+        max_level=put(maxl_np),
+        num_nodes=put(nn_np),
         m=params.m,
         dim=params.dim,
         metric=int(metric),
     )
-    return ShardedIndex(graphs=graphs, global_ids=put(gid_np, P("shard")))
+    return ShardedIndex(graphs=graphs, global_ids=put(gid_np), params=params)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "ef", "expand", "max_iters"))
@@ -367,7 +379,189 @@ def build_sharded_device(
         dim=dim,
         metric=int(metric),
     )
-    return ShardedIndex(graphs=graphs, global_ids=put(gid_np))
+    return ShardedIndex(graphs=graphs, global_ids=put(gid_np), params=params)
+
+
+# ---- lifecycle: save / load / insert / delete ------------------------------
+# The reference's external fleet persists by streaming each server's index
+# file back (server.rs:377-434); a sharded index here persists as one
+# standard snapshot per shard plus a manifest, so every shard file is
+# independently loadable by the single-index tooling.
+
+
+class _ShardView:
+    """Duck-typed engine view over one shard's arrays (for save_snapshot)."""
+
+    def __init__(self, index: ShardedIndex, si: int):
+        g = jax.device_get(jax.tree.map(lambda a: a[si], index.graphs))
+        self.p = index.params
+        self.n = int(g.num_nodes)
+        self.entry = int(g.entry)
+        self.max_level = int(g.max_level)
+        self.vectors = np.asarray(g.vectors)
+        self.neighbors0 = np.asarray(g.neighbors0)
+        self.counts0 = (self.neighbors0 >= 0).sum(1).astype(np.int32)
+        self.upper_neighbors = np.asarray(g.upper_neighbors)
+        self.upper_counts = (self.upper_neighbors >= 0).sum(-1).astype(np.int32)
+        slots = np.asarray(g.upper_slot[: self.n])
+        used = slots[slots >= 0]
+        self.n_upper = int(used.max()) + 1 if used.size else 0
+        self.upper_slot = np.asarray(g.upper_slot)
+        self.levels = np.asarray(g.levels)
+        from lantern_tpu.graph.device import join_labels
+
+        self.labels = join_labels(np.asarray(g.labels))
+        self.deleted = np.asarray(g.deleted)
+
+
+def save_sharded(index: ShardedIndex, dir_path: str):
+    """Persist: manifest.json + shard_<i>.ldb (standard snapshots) +
+    shard_<i>.gids.npy (local slot -> global id)."""
+    import json
+    import os
+
+    from lantern_tpu.storage.snapshot import save_snapshot
+
+    if index.params is None:
+        raise ValueError("ShardedIndex has no params; cannot save")
+    os.makedirs(dir_path, exist_ok=True)
+    s = index.global_ids.shape[0]
+    gids = np.asarray(jax.device_get(index.global_ids))
+    for si in range(s):
+        view = _ShardView(index, si)
+        save_snapshot(view, os.path.join(dir_path, f"shard_{si}.ldb"))
+        np.save(os.path.join(dir_path, f"shard_{si}.gids.npy"), gids[si])
+    manifest = {"version": 1, "n_shards": s,
+                "dim": index.params.dim, "m": index.params.m,
+                "metric": int(index.params.metric)}
+    tmp = os.path.join(dir_path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(dir_path, "manifest.json"))
+
+
+def load_sharded(dir_path: str, mesh: Mesh, engine: str = "native") -> ShardedIndex:
+    """Load a save_sharded directory back onto a mesh (shard count must
+    divide the mesh's shard axis... must EQUAL it for now)."""
+    import json
+    import os
+
+    from lantern_tpu.storage.snapshot import load_snapshot
+
+    with open(os.path.join(dir_path, "manifest.json")) as f:
+        manifest = json.load(f)
+    s = manifest["n_shards"]
+    if mesh.shape["shard"] != s:
+        raise ValueError(
+            f"snapshot has {s} shards but mesh shard axis is "
+            f"{mesh.shape['shard']}"
+        )
+    shards, gids = [], []
+    params = None
+    for si in range(s):
+        eng = load_snapshot(os.path.join(dir_path, f"shard_{si}.ldb"),
+                            engine=engine)
+        params = eng.p
+        g = np.load(os.path.join(dir_path, f"shard_{si}.gids.npy"))
+        shards.append(eng)
+        gids.append(g[g >= 0][: eng.n])
+    return _stack_engines(shards, gids, params, mesh)
+
+
+def _unstack_shard(index: ShardedIndex, si: int) -> DeviceGraph:
+    """One shard's arrays as a standalone (unsharded) DeviceGraph."""
+    return jax.tree.map(lambda a: jnp.asarray(jax.device_get(a[si])),
+                        index.graphs)
+
+
+def insert_sharded(
+    index: ShardedIndex,
+    vectors: np.ndarray,
+    mesh: Mesh,
+    labels: np.ndarray | None = None,
+    batch: int = 256,
+    seed: int = 0,
+) -> ShardedIndex:
+    """Post-build insert: route new vectors to their round-robin owner shard
+    (owner = global_id % S, the build partitioning) and run the device
+    insert rounds per shard, then re-stack onto the mesh.
+
+    The per-shard graphs round-trip through host memory here — fine for
+    incremental maintenance batches; bulk loads should rebuild.
+    """
+    from lantern_tpu.graph.build_device import device_insert
+    from lantern_tpu.graph.device import join_labels
+
+    if index.params is None:
+        raise ValueError("ShardedIndex has no params; cannot insert")
+    params = index.params
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    b = len(vectors)
+    s = index.global_ids.shape[0]
+    gids_np = np.asarray(jax.device_get(index.global_ids))
+    n_global = int(gids_np.max()) + 1
+    new_gids = np.arange(n_global, n_global + b)
+    if labels is None:
+        labels = new_gids.astype(np.uint64)
+
+    shards, out_gids = [], []
+    for si in range(s):
+        g = _unstack_shard(index, si)
+        mine = (new_gids % s) == si
+        old_gids = gids_np[si][gids_np[si] >= 0][: int(g.num_nodes)]
+        if mine.any():
+            g = device_insert(g, vectors[mine], labels=labels[mine],
+                              batch=batch, seed=seed + si)
+            shard_gids = np.concatenate([old_gids, new_gids[mine]])
+        else:
+            shard_gids = old_gids
+        shards.append(_GraphView(g, params))
+        out_gids.append(shard_gids.astype(np.int32))
+    return _stack_engines(shards, out_gids, params, mesh)
+
+
+class _GraphView:
+    """Duck-typed engine view over a standalone DeviceGraph (re-stacking)."""
+
+    def __init__(self, g: DeviceGraph, params: HnswParams):
+        from lantern_tpu.graph.device import join_labels
+
+        self.p = params
+        self.n = int(g.num_nodes)
+        self.entry = int(g.entry)
+        self.max_level = int(g.max_level)
+        self.vectors = np.asarray(jax.device_get(g.vectors))
+        self.neighbors0 = np.asarray(jax.device_get(g.neighbors0))
+        self.upper_neighbors = np.asarray(jax.device_get(g.upper_neighbors))
+        self.upper_slot = np.asarray(jax.device_get(g.upper_slot))
+        self.levels = np.asarray(jax.device_get(g.levels))
+        self.labels = join_labels(np.asarray(jax.device_get(g.labels)))
+        self.deleted = np.asarray(jax.device_get(g.deleted))
+        slots = self.upper_slot[: self.n]
+        used = slots[slots >= 0]
+        self.n_upper = int(used.max()) + 1 if used.size else 0
+
+
+@jax.jit
+def _mark_deleted_sharded(deleted, stacked_labels, dead_pairs):
+    """[S, cap] bool, [S, cap, 2] u32, [L, 2] u32 -> updated tombstones."""
+    hit = jnp.any(
+        jnp.all(
+            stacked_labels[:, :, None, :] == dead_pairs[None, None, :, :],
+            axis=-1,
+        ),
+        axis=-1,
+    )
+    return jnp.logical_or(deleted, hit)
+
+
+def delete_sharded(index: ShardedIndex, labels: np.ndarray) -> ShardedIndex:
+    """Tombstone by label across all shards (delete.c semantics)."""
+    dead = split_labels(np.asarray(labels, np.uint64))
+    new_deleted = _mark_deleted_sharded(
+        index.graphs.deleted, index.graphs.labels, jnp.asarray(dead)
+    )
+    return index.replace(graphs=index.graphs.replace(deleted=new_deleted))
 
 
 @dataclasses.dataclass

@@ -87,6 +87,7 @@ class Daemon:
         self.log = logger or Logger("daemon")
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self._watchers: list[threading.Thread] = []
         self._backoff = 0.0
 
     # ---- job executors ----
@@ -100,6 +101,33 @@ class Daemon:
         embs = rt.process(texts)
         np.save(spec["output"], embs)
         return {"rows": len(texts), "dim": int(embs.shape[1])}
+
+    def _run_completion_job(self, spec: dict) -> dict:
+        """add_completion_job analog (lantern_extras/src/daemon.rs:121-227):
+        run an LLM completion per input row, write one output line per row
+        (JSON) plus per-row usage accounting."""
+        from lantern_tpu.embeddings import get_runtime
+
+        with open(spec["input"]) as f:
+            rows = [line.rstrip("\n") for line in f if line.strip()]
+        rt = get_runtime(spec.get("runtime", "hash"),
+                         **spec.get("runtime_args", {}))
+        if not hasattr(rt, "completion"):
+            raise ValueError(
+                f"runtime {spec.get('runtime', 'hash')!r} has no completion support"
+            )
+        system = spec.get("system")
+        model = spec.get("model", "hash")
+        failures = 0
+        with open(spec["output"], "w") as out:
+            for row in rows:
+                try:
+                    text = rt.completion(row, model=model, system=system)
+                    out.write(json.dumps({"input": row, "output": text}) + "\n")
+                except Exception as e:  # noqa: BLE001 — per-row failure rows
+                    failures += 1
+                    out.write(json.dumps({"input": row, "error": str(e)}) + "\n")
+        return {"rows": len(rows), "failures": failures}
 
     def _run_autotune_job(self, spec: dict) -> dict:
         from lantern_tpu.autotune import AUTOTUNE_VARIANTS, autotune
@@ -143,9 +171,42 @@ class Daemon:
 
     _EXECUTORS = {
         "embedding": _run_embedding_job,
+        "completion": _run_completion_job,
         "autotune": _run_autotune_job,
         "index": _run_index_job,
     }
+
+    # ---- continuous ("client") embedding jobs ----
+    def _run_watch_job(self, jid: str, spec: dict):
+        """Continuous embedding of rows appended to the input after the job
+        started — the reference's client jobs react to INSERT triggers +
+        NOTIFY (client_embedding_jobs.rs:84-139); a polled file offset plays
+        the trigger's role here. Runs until the job is canceled or the
+        daemon stops; output .npy is rewritten as rows arrive."""
+        from lantern_tpu.embeddings import get_runtime
+
+        rt = get_runtime(spec.get("runtime", "hash"),
+                         **spec.get("runtime_args", {}))
+        done_rows = 0
+        embs: list[np.ndarray] = []
+        try:
+            while not self._stop.is_set():
+                if self.queue.get(jid)["status"] == "canceled":
+                    return
+                with open(spec["input"]) as f:
+                    texts = [line.rstrip("\n") for line in f if line.strip()]
+                if len(texts) > done_rows:
+                    new = rt.process(texts[done_rows:])
+                    embs.append(new)
+                    done_rows = len(texts)
+                    np.save(spec["output"], np.concatenate(embs))
+                    self.queue.update(jid, usage={"rows": done_rows,
+                                                  "dim": int(new.shape[1])})
+                self._stop.wait(self.poll_s)
+        except Exception as e:  # noqa: BLE001
+            self.queue.update(jid, status="failed", error=str(e),
+                              finished_at=time.time())
+            self.log.error(f"watch job {jid} failed: {e}")
 
     # ---- loop ----
     def _step(self) -> bool:
@@ -154,6 +215,18 @@ class Daemon:
             if job["status"] != "queued":
                 continue
             jid = job["id"]
+            if job["kind"] == "embedding" and job["spec"].get("watch"):
+                # continuous job: claim it and keep it running on its own
+                # thread (the reference's per-DB task concurrency)
+                self.queue.update(jid, status="running", started_at=time.time())
+                t = threading.Thread(
+                    target=self._run_watch_job, args=(jid, job["spec"]),
+                    daemon=True,
+                )
+                t.start()
+                self._watchers.append(t)
+                self.log.info(f"watch job {jid} started")
+                return True
             self.queue.update(jid, status="running", started_at=time.time())
             self.log.info(f"job {jid} ({job['kind']}) started")
             try:
@@ -191,6 +264,8 @@ class Daemon:
         self._stop.set()
         if self._thread:
             self._thread.join(10)
+        for t in self._watchers:
+            t.join(10)
 
     def run_pending(self):
         """Synchronously drain the queue (for tests/CLI one-shot mode)."""

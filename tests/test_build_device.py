@@ -90,10 +90,64 @@ def test_device_build_cosine():
     assert _recall(np.asarray(ids), np.asarray(tids)) >= 0.85
 
 
-def test_device_build_hamming_rejected():
-    p = HnswParams(dim=64, m=8, metric=Metric.HAMMING)
-    with pytest.raises(NotImplementedError):
-        build_on_device(np.zeros((10, 2), np.uint32), p)
+def test_device_build_hamming():
+    """Hamming device build over packed u32 words (options.c:137-158 /
+    build.c:504-509 coverage: the full metric matrix builds on device)."""
+    rng = np.random.default_rng(65)
+    base = rng.integers(0, 2**32, size=(800, 2), dtype=np.uint32)
+    p = HnswParams(dim=64, m=8, ef_construction=48, metric=Metric.HAMMING)
+    g = build_on_device(base, p, batch=128, seed=0)
+    assert int(g.num_nodes) == 800
+    q = jnp.asarray(base[:8])
+    d, ids, _ = search_batched(g, q, k=3, ef=32)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
+    assert (np.asarray(d)[:, 0] == 0).all()
+    _, tids = exact_search(q, jnp.asarray(base), k=10, metric=Metric.HAMMING)
+    _, ids10, _ = search_batched(g, q, k=10, ef=64)
+    assert _recall(np.asarray(ids10), np.asarray(tids)) >= 0.8
+    validate_device(g, full=True).raise_if_failed()
+
+
+def test_device_insert_quantized():
+    """device_insert on bf16- and i8-stored graphs (fast-path hole closed:
+    insert rounds run on an f32 view, storage re-quantized after)."""
+    from lantern_tpu.config import QuantKind
+    from lantern_tpu.graph.build_device import device_insert
+    from lantern_tpu.graph.device import to_device
+    from lantern_tpu.native import NativeHnsw
+
+    rng = np.random.default_rng(66)
+    base = rng.standard_normal((900, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    eng = NativeHnsw(p, capacity=600, seed=0)
+    eng.add(base[:600])
+    for kwargs in ({"dtype": jnp.bfloat16}, {"quant": QuantKind.I8}):
+        g = to_device(eng, **kwargs)
+        g2 = device_insert(g, base[600:], batch=128, seed=1, ef_construction=48)
+        assert int(g2.num_nodes) == 900
+        assert g2.vectors.dtype == g.vectors.dtype  # storage kind restored
+        if kwargs.get("quant") == QuantKind.I8:
+            assert g2.vec_scales is not None
+        q = jnp.asarray(base[600:608])
+        _, ids, _ = search_batched(g2, q, k=1, ef=32)
+        np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(600, 608))
+        _, tids = exact_search(jnp.asarray(base[::91]), jnp.asarray(base), k=10)
+        _, ids10, _ = search_batched(g2, jnp.asarray(base[::91]), k=10, ef=64)
+        assert _recall(np.asarray(ids10), np.asarray(tids)) >= 0.8
+
+
+def test_device_insert_hamming():
+    from lantern_tpu.graph.build_device import device_insert
+
+    rng = np.random.default_rng(67)
+    base = rng.integers(0, 2**32, size=(500, 2), dtype=np.uint32)
+    p = HnswParams(dim=64, m=8, ef_construction=32, metric=Metric.HAMMING)
+    g = build_on_device(base[:300], p, batch=128, seed=0)
+    g2 = device_insert(g, base[300:], batch=64, seed=1, ef_construction=32)
+    assert int(g2.num_nodes) == 500
+    d, ids, _ = search_batched(g2, jnp.asarray(base[300:306]), k=1, ef=16)
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(300, 306))
+    assert (np.asarray(d)[:, 0] == 0).all()
 
 
 def test_device_build_tiny():

@@ -212,3 +212,66 @@ def test_http_models_endpoints(api):
     assert code == 200 and any(m["runtime"] == "hash" for m in models)
     code, runtimes = _req("GET", base + "/runtimes")
     assert code == 200 and "openai" in runtimes
+
+
+def test_daemon_completion_job(tmp_path):
+    """add_completion_job analog: one LLM completion per input row with
+    per-row failure accounting (lantern_extras/src/daemon.rs:121-227)."""
+    import json
+
+    q = JobQueue(str(tmp_path / "jobs"))
+    inp = tmp_path / "prompts.txt"
+    inp.write_text("hello world\nsecond prompt\n")
+    out = tmp_path / "completions.jsonl"
+    jid = q.submit("completion", {"input": str(inp), "output": str(out),
+                                  "runtime": "hash"})
+    Daemon(q, backoff_base_s=0.01).run_pending()
+    job = q.get(jid)
+    assert job["status"] == "completed", job.get("error")
+    assert job["usage"] == {"rows": 2, "failures": 0}
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 2 and all(r["output"].startswith("completion:") for r in rows)
+    # deterministic runtime: same prompt -> same completion
+    from lantern_tpu.embeddings import llm_completion
+
+    assert rows[0]["output"] == llm_completion("hello world", runtime="hash")
+
+
+def test_daemon_continuous_watch_job(tmp_path):
+    """Client-job analog: rows appended to the input AFTER the job started
+    are embedded continuously (client_embedding_jobs.rs:84-139)."""
+    import time as _time
+
+    import numpy as np
+
+    q = JobQueue(str(tmp_path / "jobs"))
+    inp = tmp_path / "texts.txt"
+    inp.write_text("first row\n")
+    out = tmp_path / "emb.npy"
+    jid = q.submit("embedding", {"input": str(inp), "output": str(out),
+                                 "runtime": "hash", "watch": True,
+                                 "runtime_args": {"dim": 16}})
+    d = Daemon(q, poll_s=0.02, backoff_base_s=0.01).start()
+    try:
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if out.exists() and q.get(jid).get("usage", {}).get("rows") == 1:
+                break
+            _time.sleep(0.02)
+        assert q.get(jid)["usage"]["rows"] == 1
+        # append rows after the job started (the reference's INSERT trigger)
+        with open(inp, "a") as f:
+            f.write("second row\nthird row\n")
+        while _time.time() < deadline:
+            if q.get(jid).get("usage", {}).get("rows") == 3:
+                break
+            _time.sleep(0.02)
+        assert q.get(jid)["usage"]["rows"] == 3
+        embs = np.load(out)
+        assert embs.shape == (3, 16)
+        # cancel terminates the watcher
+        q.cancel(jid)
+        _time.sleep(0.1)
+        assert q.get(jid)["status"] == "canceled"
+    finally:
+        d.stop()

@@ -186,23 +186,3 @@ def test_search_stats(built_l2):
     assert (vis <= h.n).all()
 
 
-def test_big_table_sorted_path_equivalent(built_l2, monkeypatch):
-    """The sorted-access regime (big tables) must return identical results."""
-    import importlib
-
-    search_mod = importlib.import_module("lantern_tpu.graph.search")
-
-    h, base = built_l2
-    g = to_device(h)
-    rng = np.random.default_rng(123)
-    q = jnp.array(rng.standard_normal((16, 32)).astype(np.float32))
-    d1, i1, _ = search_mod.search_batched(g, q, k=10, ef=48, expand=2)
-    monkeypatch.setattr(search_mod, "SORT_GATHER_THRESHOLD", 0)
-    search_mod.search_batched.clear_cache()
-    try:
-        d2, i2, _ = search_mod.search_batched(g, q, k=10, ef=48, expand=2)
-    finally:
-        monkeypatch.undo()
-        search_mod.search_batched.clear_cache()
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)

@@ -107,3 +107,54 @@ def test_build_sharded_device_parallel():
     # self queries hit themselves
     d2, g2, _ = search_sharded(ix, jnp.array(base[:8]), k=1, ef=16)
     np.testing.assert_array_equal(np.asarray(g2)[:, 0], np.arange(8))
+
+
+def test_sharded_save_load_roundtrip(sharded_ix, tmp_path):
+    """Per-shard snapshots + manifest: identical search results after reload
+    (the external fleet's save/stream path, server.rs:377-434 analog)."""
+    from lantern_tpu.parallel.sharded import load_sharded, save_sharded
+
+    ix, base, mesh = sharded_ix
+    d = str(tmp_path / "sharded")
+    save_sharded(ix, d)
+    ix2 = load_sharded(d, mesh)
+    q = jnp.array(base[:8])
+    d1, g1, _ = search_sharded(ix, q, k=5, ef=48)
+    d2, g2, _ = search_sharded(ix2, q, k=5, ef=48)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    # shard files are independently loadable by the single-index tooling
+    from lantern_tpu.storage.snapshot import load_snapshot
+
+    eng0 = load_snapshot(str(tmp_path / "sharded" / "shard_0.ldb"))
+    assert eng0.n > 0
+
+
+def test_sharded_insert_delete(tmp_path):
+    """Post-build insert routes to round-robin owners; delete tombstones
+    across shards; recall holds after both."""
+    from lantern_tpu.parallel.sharded import (
+        delete_sharded,
+        insert_sharded,
+        make_mesh,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((1600, 16)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix = build_sharded(base[:1200], p, mesh, seed=0)
+    ix = insert_sharded(ix, base[1200:], mesh, batch=64, seed=1)
+    q = jnp.array(base[1200:1208])
+    d, gids, _ = search_sharded(ix, q, k=1, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(gids)[:, 0], np.arange(1200, 1208)
+    )
+    _, tids = exact_search(jnp.array(base[::151]), jnp.array(base), k=10)
+    _, g10, _ = search_sharded(ix, jnp.array(base[::151]), k=10, ef=64)
+    rec = _recall(np.asarray(g10), np.asarray(tids))
+    assert rec >= 0.85, f"post-insert recall {rec}"
+    # delete a few of the new nodes
+    ix = delete_sharded(ix, np.arange(1200, 1204, dtype=np.uint64))
+    _, gids2, _ = search_sharded(ix, q, k=3, ef=32)
+    assert not np.isin(np.asarray(gids2), np.arange(1200, 1204)).any()
