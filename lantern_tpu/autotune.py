@@ -50,6 +50,43 @@ class AutotuneResult:
         )
 
 
+def load_prior_result(model_name: str, results_path: str,
+                      target_recall: float) -> AutotuneResult | None:
+    """Reuse a prior autotune result for the same model name — parity with
+    the reference skipping the sweep when `_lantern_extras_internal
+    .autotune_results` already has rows for the model (mod.rs:111-159)."""
+    import json
+    import os
+
+    if not model_name or not os.path.exists(results_path):
+        return None
+    with open(results_path) as f:
+        store = json.load(f)
+    rows = store.get(model_name, [])
+    meeting = [AutotuneResult(**r) for r in rows
+               if r["recall"] >= target_recall]
+    if not meeting:
+        return None
+    return min(meeting, key=lambda r: (r.latency_s, r.build_s))
+
+
+def save_results(model_name: str, results: list[AutotuneResult],
+                 results_path: str):
+    """Append this sweep's rows under the model name (export_results analog)."""
+    import json
+    import os
+
+    store = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            store = json.load(f)
+    store.setdefault(model_name, []).extend(vars(r) for r in results)
+    tmp = results_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(store, f)
+    os.replace(tmp, results_path)
+
+
 def autotune(
     vectors: np.ndarray,
     metric: Metric = Metric.L2SQ,
@@ -61,8 +98,19 @@ def autotune(
     seed: int = 0,
     engine: str = "device",
     query_batch: int = 256,
+    model_name: str | None = None,
+    results_path: str | None = None,
 ) -> tuple[AutotuneResult | None, list[AutotuneResult]]:
-    """Sweep variants; returns (best_meeting_target_or_None, all_results)."""
+    """Sweep variants; returns (best_meeting_target_or_None, all_results).
+
+    With ``model_name`` + ``results_path``, a prior stored result meeting
+    the target short-circuits the sweep, and fresh sweeps are appended to
+    the store (mod.rs:111-159 reuse semantics).
+    """
+    if model_name and results_path:
+        prior = load_prior_result(model_name, results_path, target_recall)
+        if prior is not None:
+            return prior, [prior]
     import jax
     import jax.numpy as jnp
 
@@ -138,4 +186,6 @@ def autotune(
     # selection: fastest meeting target, ties by build time (mod.rs:161-186)
     meeting = [r for r in results if r.recall >= target_recall]
     best = min(meeting, key=lambda r: (r.latency_s, r.build_s)) if meeting else None
+    if model_name and results_path:
+        save_results(model_name, results, results_path)
     return best, results

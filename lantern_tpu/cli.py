@@ -90,6 +90,28 @@ def _cmd_start_daemon(args):
         d.stop()
 
 
+def _cmd_start_bgworkers(args):
+    """In-process services host (lantern_extras bgworkers analog)."""
+    from lantern_tpu.service.bgworkers import ServiceConfig, ServiceHost
+
+    cfg = ServiceConfig(
+        enable_daemon=bool(args.queue_dir),
+        enable_indexing_server=args.indexing,
+        indexing_port=args.indexing_port,
+        status_port=args.status_port,
+        jobs_dir=args.queue_dir,
+    )
+    host = ServiceHost(cfg).start()
+    print(f"bgworkers up (indexing port={host.indexing_port})", flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        host.stop()
+
+
 def _cmd_autotune_index(args):
     from lantern_tpu.autotune import autotune
     from lantern_tpu.config import Metric
@@ -102,6 +124,8 @@ def _cmd_autotune_index(args):
         target_recall=args.recall,
         sample=args.test_data_size,
         engine=args.engine,
+        model_name=args.model_name,
+        results_path=args.results_path,
     )
     for r in results:
         print(r.exp_str())
@@ -165,7 +189,7 @@ def _cmd_search(args):
 
     ix = Index.load(args.index)
     queries = np.load(args.queries).astype(np.float32)
-    d, labels = ix.search(queries, k=args.k, ef=args.ef)
+    d, labels = ix.search(queries, k=args.k, ef=args.ef, mode=args.mode)
     for qi in range(len(queries)):
         row = [
             {"label": int(l), "dist": float(x)}
@@ -211,7 +235,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--recall", type=float, default=0.9)
     s.add_argument("--test-data-size", type=int, default=10000)
     s.add_argument("--engine", default="device", choices=["device", "native"])
+    s.add_argument("--model-name", default=None,
+                   help="store/reuse results under this name")
+    s.add_argument("--results-path", default=None,
+                   help="JSON results store (prior-result reuse)")
     s.set_defaults(fn=_cmd_autotune_index)
+
+    s = sub.add_parser("start-bgworkers",
+                       help="in-process daemon + indexing server")
+    s.add_argument("--queue-dir", default=None)
+    s.add_argument("--indexing", action="store_true", default=True)
+    s.add_argument("--indexing-port", type=int, default=8998)
+    s.add_argument("--status-port", type=int, default=8999)
+    s.set_defaults(fn=_cmd_start_bgworkers)
 
     s = sub.add_parser("pq-table")
     s.add_argument("--input", required=True, help=".npy dataset")
@@ -247,6 +283,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--queries", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--ef", type=int, default=None)
+    s.add_argument("--mode", default="auto", choices=["auto", "flat", "graph"])
     s.set_defaults(fn=_cmd_search)
     return ap
 

@@ -95,18 +95,59 @@ class HashRuntime:
 class LocalTransformerRuntime:
     """Local HF-transformers embedding runtime (the reference's Ort analog).
 
-    Requires model weights present on disk (zero-egress environment); mean
-    pooling over the last hidden state (ort_runtime.rs:31-134 pooling modes;
-    mean is the common default).
+    Requires model weights present on disk (zero-egress environment).
+    Pooling modes mirror ort_runtime.rs:31-134: "mean" (masked mean over the
+    last hidden state), "cls" (first token), "relu_log_max" (SPLADE-style
+    log(1+relu) max-pool). ``batch_size=0`` enables dynamic batch sizing
+    from available memory (ort_runtime.rs:318's free-memory threshold).
     """
 
-    def __init__(self, model_path: str, device: str = "cpu", batch_size: int = 32):
-        from transformers import AutoModel, AutoTokenizer  # lazy import
+    POOLINGS = ("mean", "cls", "relu_log_max")
 
-        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
-        self.model = AutoModel.from_pretrained(model_path)
+    def __init__(self, model_path: str | None = None, device: str = "cpu",
+                 batch_size: int = 32, pooling: str = "mean",
+                 model=None, tokenizer=None, max_length: int = 512):
+        if pooling not in self.POOLINGS:
+            raise ValueError(f"pooling {pooling!r}; expected {self.POOLINGS}")
+        if model is not None and tokenizer is not None:
+            self.model, self.tokenizer = model, tokenizer
+        else:
+            from transformers import AutoModel, AutoTokenizer  # lazy import
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+            self.model = AutoModel.from_pretrained(model_path)
         self.model.eval()
-        self.batch_size = batch_size
+        self.pooling = pooling
+        self.max_length = max_length
+        self.batch_size = batch_size or self._dynamic_batch_size()
+
+    def _dynamic_batch_size(self) -> int:
+        """Size batches from available memory (the reference sizes by free
+        GPU/host memory at an 80% threshold, ort_runtime.rs:318)."""
+        try:
+            import os
+
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError, AttributeError):
+            return 32
+        hidden = getattr(self.model.config, "hidden_size", 768)
+        layers = getattr(self.model.config, "num_hidden_layers", 12) or 1
+        # rough activation footprint per sequence (f32)
+        per_seq = self.max_length * hidden * (layers + 2) * 4
+        usable = int(avail * 0.8)
+        return max(1, min(512, usable // max(per_seq, 1)))
+
+    def _pool(self, hidden, mask):
+        import torch
+
+        if self.pooling == "cls":
+            return hidden[:, 0, :]
+        if self.pooling == "relu_log_max":
+            act = torch.log1p(torch.relu(hidden))
+            act = act.masked_fill(~mask.bool(), float("-inf"))
+            return act.max(dim=1).values
+        maskf = mask.float()
+        return (hidden * maskf).sum(1) / maskf.sum(1).clamp(min=1e-9)
 
     def process(self, texts: list[str]) -> np.ndarray:
         import torch
@@ -115,11 +156,11 @@ class LocalTransformerRuntime:
         for i in range(0, len(texts), self.batch_size):
             batch = texts[i : i + self.batch_size]
             enc = self.tokenizer(batch, padding=True, truncation=True,
-                                 max_length=512, return_tensors="pt")
+                                 max_length=self.max_length,
+                                 return_tensors="pt")
             with torch.no_grad():
                 hidden = self.model(**enc).last_hidden_state
-            mask = enc["attention_mask"].unsqueeze(-1).float()
-            pooled = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+            pooled = self._pool(hidden, enc["attention_mask"].unsqueeze(-1))
             outs.append(pooled.numpy().astype(np.float32))
         return np.concatenate(outs)
 

@@ -158,11 +158,81 @@ def adc_distances(lut: jax.Array, codes: jax.Array) -> jax.Array:
     Quick-ADC insight mapped to a systolic array).
     """
     q, s, k = lut.shape
-    oh = jax.nn.one_hot(codes, k, dtype=jnp.bfloat16)  # [Q, C, S, K]
     c = codes.shape[1]
-    return jax.lax.dot_general(
-        oh.reshape(q, c, s * k),
-        lut.reshape(q, s * k),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    if q * c * s * k <= (1 << 27):
+        # small problems: one fused contraction (one-hot [Q, C, S, K])
+        oh = jax.nn.one_hot(codes, k, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh.reshape(q, c, s * k),
+            lut.reshape(q, s * k),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    # big Q*C: the full one-hot would materialize Q*C*S*K elements (1 GB at
+    # Q=1024, C=64, S=32, K=256) — scan over subspaces instead, bounding the
+    # intermediate at [Q, C, K] per step with identical MXU FLOPs
+    return _adc_distances_scan(lut, codes)
+
+
+def _adc_distances_scan(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Memory-bounded ADC: lax.scan over subspaces ([Q, C, K] per step)."""
+    q, s, k = lut.shape
+    c = codes.shape[1]
+    codes_s = jnp.transpose(codes, (2, 0, 1))  # [S, Q, C]
+    lut_s = jnp.transpose(lut, (1, 0, 2))      # [S, Q, K]
+
+    def body(acc, xs):
+        cd, lt = xs
+        oh = jax.nn.one_hot(cd, k, dtype=jnp.bfloat16)  # [Q, C, K]
+        part = jax.lax.dot_general(
+            oh, lt[:, :, None],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, 0]
+        return acc + part, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((q, c), jnp.float32),
+                          (codes_s, lut_s))
+    return acc
+
+
+# ---- pqvec codecs (C13: pqvec SQL type + casts, pqvec.c:16-60) ----------
+# The reference's `pqvec` is a varlena of u8 codes with casts to/from
+# integer[]. Here: a tiny length-prefixed byte codec plus array casts, so
+# codes round-trip through storage/wire layers unambiguously.
+
+_PQVEC_MAGIC = 0x7051  # 'Pq'
+
+
+def array_to_pqvec(codes) -> bytes:
+    """[S] (or [n, S]) uint8 codes -> packed pqvec bytes (one vector only)."""
+    import struct as _struct
+
+    codes = np.asarray(codes, np.uint8)
+    if codes.ndim != 1:
+        raise ValueError("array_to_pqvec packs one vector; got shape "
+                         f"{codes.shape}")
+    return _struct.pack("<HH", _PQVEC_MAGIC, codes.shape[0]) + codes.tobytes()
+
+
+def pqvec_to_array(raw: bytes) -> np.ndarray:
+    """Packed pqvec bytes -> [S] uint8 codes."""
+    import struct as _struct
+
+    magic, s = _struct.unpack("<HH", raw[:4])
+    if magic != _PQVEC_MAGIC:
+        raise ValueError(f"not a pqvec value (magic {magic:#x})")
+    codes = np.frombuffer(raw[4 : 4 + s], np.uint8)
+    if len(codes) != s:
+        raise ValueError("pqvec value truncated")
+    return codes.copy()
+
+
+def quantize_vector(vec, codebook: PQCodebook) -> bytes:
+    """SQL quantize_vector analog: one vector -> pqvec bytes."""
+    return array_to_pqvec(pq_encode(np.asarray(vec, np.float32)[None], codebook)[0])
+
+
+def dequantize_vector(raw: bytes, codebook: PQCodebook) -> np.ndarray:
+    """SQL dequantize_vector analog: pqvec bytes -> reconstructed vector."""
+    return pq_decode(pqvec_to_array(raw)[None], codebook)[0]

@@ -275,3 +275,75 @@ def test_daemon_continuous_watch_job(tmp_path):
         assert q.get(jid)["status"] == "canceled"
     finally:
         d.stop()
+
+
+def test_local_transformer_runtime_poolings(tmp_path):
+    """The Ort-runtime analog with a tiny offline BERT (no downloads):
+    pooling variants + dynamic batch sizing (ort_runtime.rs:31-134, :318)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "hello", "world", "doc", "##s", "a"]
+    ))
+    tok = BertTokenizerFast(vocab_file=str(vocab))
+    cfg = BertConfig(vocab_size=tok.vocab_size, hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=64)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+
+    from lantern_tpu.embeddings import LocalTransformerRuntime
+
+    texts = ["hello world", "a doc", "hello docs world"]
+    outs = {}
+    for pooling in LocalTransformerRuntime.POOLINGS:
+        rt = LocalTransformerRuntime(model=model, tokenizer=tok,
+                                     pooling=pooling, batch_size=2,
+                                     max_length=16)
+        e = rt.process(texts)
+        assert e.shape == (3, 16) and np.isfinite(e).all()
+        outs[pooling] = e
+    # poolings are genuinely different reductions
+    assert not np.allclose(outs["mean"], outs["cls"])
+    assert (outs["relu_log_max"] >= 0).all()
+    # dynamic batch sizing picks something sane
+    rt = LocalTransformerRuntime(model=model, tokenizer=tok, batch_size=0,
+                                 max_length=16)
+    assert 1 <= rt.batch_size <= 512
+    with pytest.raises(ValueError, match="pooling"):
+        LocalTransformerRuntime(model=model, tokenizer=tok, pooling="nope")
+
+
+def test_autotune_prior_result_reuse(tmp_path, rng):
+    """mod.rs:111-159 parity: a stored result for the model short-circuits
+    the sweep; fresh sweeps append to the store."""
+    from lantern_tpu.autotune import autotune
+
+    vectors = rng.standard_normal((400, 8)).astype(np.float32)
+    store = str(tmp_path / "autotune.json")
+    best1, res1 = autotune(
+        vectors, sample=400, target_recall=0.5,
+        variants=((6, 32, 64), (8, 40, 64)), engine="device",
+        model_name="my-model", results_path=store,
+    )
+    assert best1 is not None and len(res1) == 2
+    # second call must reuse (returns exactly one stored row, no sweep)
+    best2, res2 = autotune(
+        vectors, sample=400, target_recall=0.5,
+        variants=((6, 32, 64), (8, 40, 64)), engine="device",
+        model_name="my-model", results_path=store,
+    )
+    assert len(res2) == 1
+    assert (best2.m, best2.ef_construction, best2.ef) == (
+        best1.m, best1.ef_construction, best1.ef
+    )
+    # a different model name sweeps fresh
+    best3, res3 = autotune(
+        vectors, sample=400, target_recall=0.5,
+        variants=((6, 32, 64),), engine="device",
+        model_name="other-model", results_path=store,
+    )
+    assert len(res3) == 1 and best3 is not None

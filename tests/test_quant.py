@@ -147,3 +147,43 @@ def test_pq_cos_metric(rng):
                                metric=Metric.COS)
     assert _recall_labels(labels, np.asarray(true_ids)) >= 0.5
     assert (np.asarray(d)[:, 0] < 0.2).all()  # self-ish matches
+
+
+def test_pqvec_codecs(rng):
+    """pqvec type parity (C13): pack/unpack + quantize/dequantize casts."""
+    from lantern_tpu.quant.pq import (
+        array_to_pqvec,
+        dequantize_vector,
+        pqvec_to_array,
+        quantize_vector,
+        train_codebook,
+    )
+
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    cb = train_codebook(data, num_subvectors=4, num_centroids=16, iters=8)
+    raw = quantize_vector(data[0], cb)
+    codes = pqvec_to_array(raw)
+    assert codes.shape == (4,) and codes.dtype == np.uint8
+    assert array_to_pqvec(codes) == raw
+    rec = dequantize_vector(raw, cb)
+    assert rec.shape == (16,)
+    assert np.linalg.norm(rec - data[0]) < np.linalg.norm(data[0])
+    with pytest.raises(ValueError, match="magic"):
+        pqvec_to_array(b"\x00\x00\x04\x00abcd")
+
+
+def test_adc_big_q_path_equivalent(rng):
+    """The scanned (memory-bounded) ADC path must equal the one-shot path."""
+    import jax.numpy as jnp
+
+    from lantern_tpu.quant import pq as pq_mod
+
+    q, c, s, k = 8, 6, 4, 16
+    lut = jnp.asarray(rng.standard_normal((q, s, k)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, k, size=(q, c)).astype(np.int32))
+    codes3 = jnp.broadcast_to(codes[:, :, None], (q, c, s))
+    d_small = pq_mod.adc_distances(lut, codes3)
+
+    d_big = pq_mod._adc_distances_scan(lut, codes3)
+    np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_big),
+                               rtol=2e-2, atol=2e-2)

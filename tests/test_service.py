@@ -231,3 +231,51 @@ def test_hamming_build_via_server(rng):
         assert ix.size == 200
         d, labels = ix.search(packed[:2], k=1, ef=16)
         assert (d[:, 0] == 0).all()
+
+
+def test_in_process_bgworkers(rng, tmp_path):
+    """ServiceHost = the lantern_extras bgworker analog: daemon + indexing
+    server inside the embedding process, supervised with restart
+    (lib.rs:50-63, 158-237)."""
+    from lantern_tpu.service.bgworkers import ServiceConfig, ServiceHost
+
+    cfg = ServiceConfig(
+        enable_daemon=True, enable_indexing_server=True,
+        indexing_port=0, status_port=0, jobs_dir=str(tmp_path / "jobs"),
+        restart_s=0.1,
+    )
+    base = rng.standard_normal((120, 8)).astype(np.float32)
+    p = HnswParams(dim=8, m=4, ef_construction=16)
+    with ServiceHost(cfg) as host:
+        # indexing server reachable in-process
+        ix = build_via_server(base, p, "127.0.0.1", host.indexing_port)
+        assert ix.size == 120
+        # daemon executes submitted jobs
+        from lantern_tpu.service.daemon import JobQueue
+
+        q = JobQueue(cfg.jobs_dir)
+        inp = tmp_path / "texts.txt"
+        inp.write_text("a doc\nanother doc\n")
+        jid = q.submit("embedding", {"input": str(inp),
+                                     "output": str(tmp_path / "e.npy"),
+                                     "runtime": "hash",
+                                     "runtime_args": {"dim": 8}})
+        import time as _t
+
+        deadline = _t.time() + 15
+        while _t.time() < deadline and q.get(jid)["status"] not in (
+            "completed", "failed",
+        ):
+            _t.sleep(0.05)
+        assert q.get(jid)["status"] == "completed", q.get(jid)
+        # kill the server thread's loop: the supervisor must bring it back
+        old_port = host.indexing_port
+        loop = host._server["loop"]
+        loop.call_soon_threadsafe(loop.stop)
+        deadline = _t.time() + 15
+        while _t.time() < deadline and host.restarts == 0:
+            _t.sleep(0.05)
+        assert host.restarts >= 1
+        ix2 = build_via_server(base[:50], p, "127.0.0.1", host.indexing_port)
+        assert ix2.size == 50
+        del old_port
