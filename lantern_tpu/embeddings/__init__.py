@@ -20,12 +20,13 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import re
 import urllib.request
 
 import numpy as np
 
-_RUNTIMES = ("hash", "local", "openai", "cohere")
+_RUNTIMES = ("hash", "local", "onnx", "openai", "cohere")
 
 # model name -> (runtime, dim); the reference registers ~17 ONNX models
 # (ort_runtime.rs:284-302); ours register lazily + these defaults
@@ -40,16 +41,48 @@ KNOWN_MODELS = {
     "embed-multilingual-v3.0": ("cohere", 1024),
 }
 
+# The reference's local-model registry (ort_runtime.rs:284-302), same names
+# so `get_available_models()` matches; served here by the "onnx" runtime when
+# onnxruntime is installed, else by LocalTransformerRuntime on HF weights.
+# name -> (dim, pooling, visual)
+ONNX_MODELS = {
+    "clip/ViT-B-32-textual": (512, "cls", False),
+    "clip/ViT-B-32-visual": (512, "cls", True),
+    "BAAI/bge-small-en": (384, "cls", False),
+    "BAAI/bge-base-en": (768, "cls", False),
+    "BAAI/bge-large-en": (1024, "cls", False),
+    "BAAI/bge-m3": (1024, "cls", False),
+    "intfloat/e5-base-v2": (768, "cls", False),
+    "intfloat/e5-large-v2": (1024, "cls", False),
+    "llmrails/ember-v1": (1024, "cls", False),
+    "thenlper/gte-base": (768, "cls", False),
+    "thenlper/gte-large": (1024, "cls", False),
+    "microsoft/all-MiniLM-L12-v2": (384, "cls", False),
+    "microsoft/all-mpnet-base-v2": (768, "cls", False),
+    "transformers/multi-qa-mpnet-base-dot-v1": (768, "cls", False),
+    "jinaai/jina-embeddings-v2-small-en": (512, "mean", False),
+    "jinaai/jina-embeddings-v2-base-en": (768, "mean", False),
+    "naver/splade-v3": (30522, "relu_log_max", False),
+}
+
 
 def get_available_runtimes() -> list[str]:
     return list(_RUNTIMES)
 
 
 def get_available_models() -> list[dict]:
-    return [
-        {"name": name, "runtime": rt, "dim": dim}
+    """Model catalog (SQL fn get_available_models parity,
+    embeddings.rs:129-221 + ort_runtime.rs:1032-1042 textual/visual split)."""
+    out = [
+        {"name": name, "runtime": rt, "dim": dim, "visual": False}
         for name, (rt, dim) in KNOWN_MODELS.items()
     ]
+    out += [
+        {"name": name, "runtime": "onnx", "dim": dim, "visual": visual,
+         "pooling": pooling}
+        for name, (dim, pooling, visual) in ONNX_MODELS.items()
+    ]
+    return out
 
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -165,6 +198,112 @@ class LocalTransformerRuntime:
         return np.concatenate(outs)
 
 
+class LocalVisionRuntime:
+    """Local image-embedding runtime — the CLIP-visual analog
+    (ort_runtime.rs:286,673 process_image_clip; input_image_size 224).
+
+    Takes a CLIP-style vision model + processor (injectable for offline
+    tests; otherwise loaded from a local HF model dir). ``process`` accepts
+    PIL images, numpy HWC uint8 arrays, or raw bytes.
+    """
+
+    def __init__(self, model_path: str | None = None, batch_size: int = 16,
+                 model=None, processor=None):
+        if model is not None and processor is not None:
+            self.model, self.processor = model, processor
+        else:
+            from transformers import AutoImageProcessor, AutoModel  # lazy
+
+            self.processor = AutoImageProcessor.from_pretrained(model_path)
+            self.model = AutoModel.from_pretrained(model_path)
+        self.model.eval()
+        self.batch_size = batch_size
+
+    @staticmethod
+    def _decode(img):
+        if isinstance(img, (bytes, bytearray)):
+            import io
+
+            from PIL import Image
+
+            return Image.open(io.BytesIO(img)).convert("RGB")
+        return img
+
+    def process(self, images: list) -> np.ndarray:
+        import torch
+
+        outs = []
+        for i in range(0, len(images), self.batch_size):
+            batch = [self._decode(im) for im in images[i : i + self.batch_size]]
+            enc = self.processor(images=batch, return_tensors="pt")
+            with torch.no_grad():
+                out = self.model(**enc)
+            # CLIP vision models expose pooler_output; generic ViTs: CLS token
+            pooled = getattr(out, "pooler_output", None)
+            if pooled is None:
+                pooled = out.last_hidden_state[:, 0, :]
+            outs.append(pooled.numpy().astype(np.float32))
+        return np.concatenate(outs)
+
+
+class OnnxRuntime:
+    """ONNX embedding runtime (the reference's Ort runtime, ort_runtime.rs).
+
+    Gated on ``onnxruntime`` being installed — this environment ships
+    without it, so construction raises a clear error; the registered model
+    catalog (ONNX_MODELS) and the pooling implementations are shared with
+    LocalTransformerRuntime, which serves the same models from HF weights.
+    """
+
+    def __init__(self, model_path: str, tokenizer_path: str | None = None,
+                 pooling: str = "cls", batch_size: int = 32,
+                 max_length: int = 512):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env has no onnxruntime
+            raise RuntimeError(
+                "onnxruntime is not installed; use the 'local' runtime "
+                "(transformers backend) for the same models"
+            ) from e
+        import onnxruntime as ort
+        from transformers import AutoTokenizer
+
+        self.session = ort.InferenceSession(
+            model_path, providers=["CPUExecutionProvider"]
+        )
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            tokenizer_path or os.path.dirname(model_path)
+        )
+        self.pooling = pooling
+        self.batch_size = batch_size
+        self.max_length = max_length
+
+    def process(self, texts: list[str]) -> np.ndarray:
+        outs = []
+        for i in range(0, len(texts), self.batch_size):
+            enc = self.tokenizer(
+                texts[i : i + self.batch_size], padding=True, truncation=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            feeds = {
+                k: v.astype(np.int64)
+                for k, v in enc.items()
+                if k in {x.name for x in self.session.get_inputs()}
+            }
+            hidden = self.session.run(None, feeds)[0]
+            mask = enc["attention_mask"][:, :, None].astype(np.float32)
+            if self.pooling == "cls":
+                pooled = hidden[:, 0, :]
+            elif self.pooling == "relu_log_max":
+                act = np.log1p(np.maximum(hidden, 0))
+                act = np.where(mask > 0, act, -np.inf)
+                pooled = act.max(axis=1)
+            else:
+                pooled = (hidden * mask).sum(1) / np.maximum(mask.sum(1), 1e-9)
+            outs.append(pooled.astype(np.float32))
+        return np.concatenate(outs)
+
+
 class _RestRuntime:
     """Shared REST embedding runtime (OpenAi/Cohere parity, urllib-based)."""
 
@@ -234,11 +373,20 @@ def get_runtime(name: str, **kw):
         return HashRuntime(**kw)
     if name == "local":
         return LocalTransformerRuntime(**kw)
+    if name == "onnx":
+        return OnnxRuntime(**kw)
     if name == "openai":
         return OpenAiRuntime(**kw)
     if name == "cohere":
         return CohereRuntime(**kw)
     raise ValueError(f"unknown runtime {name!r}; available: {_RUNTIMES}")
+
+
+def image_embedding(model: str, image, **kw) -> np.ndarray:
+    """One-shot image embedding (the CLIP-visual path,
+    ort_runtime.rs:673 process_image_clip)."""
+    rt = LocalVisionRuntime(model_path=model, **kw)
+    return rt.process([image])[0]
 
 
 def text_embedding(model: str, text: str, dim: int | None = None, **kw) -> np.ndarray:

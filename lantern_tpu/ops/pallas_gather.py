@@ -110,7 +110,7 @@ def gather_dists_pallas(
             pl.BlockSpec((qb, c), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((qb, d), lambda i: (i, 0)),
             pl.BlockSpec((qb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vectors stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # vectors stay in HBM
         ],
         out_specs=pl.BlockSpec((qb, cp), lambda i: (i, 0)),
         scratch_shapes=[

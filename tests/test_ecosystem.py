@@ -347,3 +347,53 @@ def test_autotune_prior_result_reuse(tmp_path, rng):
         model_name="other-model", results_path=store,
     )
     assert len(res3) == 1 and best3 is not None
+
+
+def test_model_catalog_and_onnx_gate():
+    """get_available_models covers the reference's ONNX registry names
+    (ort_runtime.rs:284-302) with textual/visual split; the onnx runtime
+    errors clearly when onnxruntime is absent."""
+    from lantern_tpu.embeddings import ONNX_MODELS, get_available_models
+
+    models = {m["name"]: m for m in get_available_models()}
+    for name in ("clip/ViT-B-32-textual", "clip/ViT-B-32-visual",
+                 "BAAI/bge-small-en", "naver/splade-v3",
+                 "jinaai/jina-embeddings-v2-base-en"):
+        assert name in models
+    assert models["clip/ViT-B-32-visual"]["visual"]
+    assert not models["clip/ViT-B-32-textual"]["visual"]
+    assert models["naver/splade-v3"]["pooling"] == "relu_log_max"
+    assert len(ONNX_MODELS) == 17
+
+    try:
+        import onnxruntime  # noqa: F401
+        pytest.skip("onnxruntime installed; gate not exercised")
+    except ImportError:
+        pass
+    from lantern_tpu.embeddings import get_runtime
+
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        get_runtime("onnx", model_path="/nonexistent.onnx")
+
+
+def test_local_vision_runtime(tmp_path):
+    """CLIP-visual analog (ort_runtime.rs:286,673) with a tiny offline ViT
+    injected — image batches embed to the pooled dimension."""
+    torch = pytest.importorskip("torch")
+    from transformers import ViTConfig, ViTImageProcessor, ViTModel
+
+    cfg = ViTConfig(hidden_size=16, num_hidden_layers=1,
+                    num_attention_heads=2, intermediate_size=32,
+                    image_size=32, patch_size=16, num_channels=3)
+    torch.manual_seed(0)
+    model = ViTModel(cfg)
+    proc = ViTImageProcessor(size={"height": 32, "width": 32},
+                             do_normalize=False)
+
+    from lantern_tpu.embeddings import LocalVisionRuntime
+
+    rt = LocalVisionRuntime(model=model, processor=proc, batch_size=2)
+    imgs = [np.random.default_rng(i).integers(
+        0, 255, (32, 32, 3), dtype=np.uint8) for i in range(3)]
+    e = rt.process(imgs)
+    assert e.shape == (3, 16) and np.isfinite(e).all()
