@@ -85,10 +85,10 @@ def choose_search_strategy(
     between a sequential scan and the index (hnswcostestimate's purpose,
     hnsw.c:150-209). On TPU the dense MXU scan dominates graph traversal at
     every scale where the stored table fits HBM (measured: ~200k vs ~3k QPS
-    at 1M x 128d), so the only reasons to traverse the graph are PQ-coded
-    storage (ADC path) or tables too large to scan-resident."""
-    if quant_is_pq:
-        return "graph"
+    at 1M x 128d), so the only reason to traverse the graph is a table too
+    large to scan-resident. PQ codes also scan flat (decode-on-MXU ADC,
+    flat.flat_search_pq) — their stored bytes are the smallest of all."""
     if n * width * itemsize > hbm_budget:
         return "graph"
+    del quant_is_pq  # kept for call-site compatibility; PQ scans flat too
     return "flat"

@@ -199,6 +199,136 @@ def flat_search(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "exact", "recall_target", "block"),
+)
+def flat_search_pq(
+    codes: jax.Array,        # [N, S] uint8 PQ codes
+    centroids: jax.Array,    # [S, K, dsub] f32 codebook
+    queries: jax.Array,      # [Q, dim] f32
+    k: int = 10,
+    metric: int = int(Metric.L2SQ),
+    exact: bool = False,
+    recall_target: float = 0.95,
+    block: int = 1 << 16,
+    deleted: jax.Array | None = None,
+):
+    """Flat ADC scan over PQ codes — decode-on-MXU, then dense scoring.
+
+    The graph's ADC path (quant/pq.adc_distances) gathers per-candidate LUT
+    entries; for a FULL-table scan the decoded block is reused across every
+    query in the batch, so it's cheaper to reconstruct each block once
+    (one-hot x codebook contraction, the Quick-ADC trick upside down) and
+    score it with one dense matmul:
+
+        decoded[b]  = concat_s centroids[s, codes[b, s]]      (bf16, MXU)
+        score[q, b] = 2<q, decoded[b]> - ||decoded[b]||^2     (l2sq ranks)
+
+    Distances equal asymmetric PQ distances (exact query vs reconstructed
+    vector) to bf16 precision. Decode adds K/dim extra FLOPs per scored
+    element (~2x at K=256, dim=128) but stays MXU-bound; HBM traffic is the
+    CODE bytes (N*S), 16x less than an f32 table at S=dim/4.
+    Reference bar: the PQ search path (pqtable.c, scan.c:75-81 codebook
+    load), reconstructed distance semantics of usearch's pq metric.
+    """
+    metric = Metric(metric)
+    if metric == Metric.HAMMING:
+        raise ValueError("PQ scan supports l2sq/cos only")
+    n, s = codes.shape
+    _, kc, dsub = centroids.shape
+    q = queries.shape[0]
+    k_out = k
+    k = min(k, n)
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1)
+    cent_bf = centroids.astype(jnp.bfloat16)
+    c_sq = jnp.sum(centroids * centroids, axis=-1)  # [S, K] f32
+
+    def block_scores(codes_b, del_b):
+        oh = jax.nn.one_hot(codes_b.astype(jnp.int32), kc, dtype=jnp.bfloat16)
+        dec = jnp.einsum("bsk,skd->bsd", oh, cent_bf,
+                         preferred_element_type=jnp.bfloat16)
+        dec = dec.reshape(codes_b.shape[0], s * dsub)
+        x_sq = jnp.einsum("bsk,sk->b", oh, c_sq,
+                          preferred_element_type=jnp.float32)
+        dots = jax.lax.dot_general(
+            qf.astype(jnp.bfloat16), dec, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.L2SQ:
+            score = 2.0 * dots - x_sq[None, :]
+        else:
+            score = dots / jnp.maximum(jnp.sqrt(x_sq)[None, :], 1e-30)
+        if del_b is not None:
+            score = jnp.where(del_b[None, :], -jnp.inf, score)
+        return score
+
+    def block_topk(score):
+        if exact:
+            return jax.lax.top_k(score, k)
+        return jax.lax.approx_max_k(score, k, recall_target=recall_target)
+
+    block = min(block, n)
+    if n <= block:
+        bd, bi = block_topk(block_scores(codes, deleted))
+    else:
+        nb = n // block
+        tail = n - nb * block
+        xs = {"c": codes[: nb * block].reshape(nb, block, s),
+              "off": jnp.arange(nb, dtype=jnp.int32)[:, None] * block}
+        if deleted is not None:
+            xs["del"] = deleted[: nb * block].reshape(nb, block)
+
+        def body(carry, xs_b):
+            best_d, best_i = carry
+            sc = block_scores(xs_b["c"], xs_b.get("del"))
+            bd, bi = block_topk(sc)
+            bi = bi + xs_b["off"]
+            md, mi = jax.lax.sort(
+                (jnp.concatenate([best_d, bd], 1),
+                 jnp.concatenate([best_i, bi], 1)),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            return (md[:, -k:], mi[:, -k:]), None
+
+        init = (jnp.full((q, k), -jnp.inf), jnp.full((q, k), -1, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body, init, xs)
+        if tail:
+            sc = block_scores(
+                codes[nb * block:],
+                deleted[nb * block:] if deleted is not None else None,
+            )
+            td, ti = jax.lax.top_k(sc, min(k, tail))
+            pad = k - ti.shape[1]
+            if pad:
+                td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)
+                ti = jnp.concatenate([ti, jnp.full((q, pad), -1, jnp.int32)], 1)
+            md, mi = jax.lax.sort(
+                (jnp.concatenate([bd, td], 1),
+                 jnp.concatenate([bi, ti + nb * block], 1)),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            bd, bi = md[:, -k:], mi[:, -k:]
+        bd, bi = bd[:, ::-1], bi[:, ::-1]
+        out_d = _score_to_dist(bd, q_sq, metric)
+        return _pad_k(
+            jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
+            jnp.where(jnp.isfinite(bd), bi, -1),
+            k_out,
+        )
+
+    order = jnp.argsort(-bd, axis=1)
+    bd = jnp.take_along_axis(bd, order, axis=1)
+    bi = jnp.take_along_axis(bi, order, axis=1)
+    out_d = _score_to_dist(bd, q_sq, metric)
+    return _pad_k(
+        jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
+        jnp.where(jnp.isfinite(bd), bi, -1),
+        k_out,
+    )
+
+
 def _pad_k(d, ids, k_out: int):
     """Pad result columns out to k_out (dist +inf, id -1)."""
     q, k = d.shape
@@ -216,18 +346,33 @@ def flat_search_graph(graph, queries, k: int = 10, exact: bool = False,
 
     Returns (dists [Q,k], ids [Q,k], labels [Q,k,2]) like search_batched, so
     the Index facade can dispatch between graph traversal and flat scan.
-    PQ-coded graphs are not supported here (use the ADC graph search).
+    PQ-coded graphs run the flat ADC scan (decode-on-MXU).
     """
     from lantern_tpu.graph.device import QUANT_PQ
 
-    if graph.quant == QUANT_PQ:
-        raise NotImplementedError("flat scan over PQ codes: use graph search")
     # exclude tombstones AND unfilled capacity rows (cap > num_nodes after
     # doubling growth: those rows are zeros and would score artificially well)
     excluded = jnp.logical_or(
         graph.deleted,
         jnp.arange(graph.cap, dtype=jnp.int32) >= graph.num_nodes,
     )
+    if graph.quant == QUANT_PQ:
+        d, ids = flat_search_pq(
+            graph.vectors[: graph.cap],
+            graph.pq_codebook,
+            queries,
+            k=k,
+            metric=graph.metric,
+            exact=exact,
+            recall_target=recall_target,
+            deleted=excluded,
+        )
+        labels = jnp.where(
+            (ids >= 0)[:, :, None],
+            graph.labels[jnp.clip(ids, 0, graph.cap - 1)],
+            jnp.uint32(0),
+        )
+        return d, ids, labels
     d, ids = flat_search(
         graph.vectors[: graph.cap],
         graph.sq_norms[: graph.cap],

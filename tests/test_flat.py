@@ -97,3 +97,70 @@ def test_flat_graph_quant_paths(rng):
         g = to_device(eng, **kwargs)
         d, ids, labels = flat_search_graph(g, jnp.asarray(base[:4]), k=3, exact=True)
         assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+
+@pytest.mark.parametrize("metric", [Metric.L2SQ, Metric.COS])
+def test_flat_pq_matches_decoded_oracle(rng, metric):
+    """flat_search_pq == exact scan over DECODED vectors (bf16 tolerance)."""
+    from lantern_tpu.flat import flat_search_pq
+    from lantern_tpu.quant.pq import pq_decode, pq_encode, train_codebook
+
+    base = rng.standard_normal((700, 32)).astype(np.float32)
+    q = rng.standard_normal((9, 32)).astype(np.float32)
+    cb = train_codebook(base, num_subvectors=8, num_centroids=32, iters=10)
+    codes = pq_encode(base, cb)
+    decoded = pq_decode(codes, cb)
+
+    d, ids = flat_search_pq(
+        jnp.asarray(codes), jnp.asarray(cb.centroids), jnp.asarray(q),
+        k=10, metric=int(metric), exact=True,
+    )
+    od, oids = exact_search(q, decoded, k=10, metric=metric)
+    # bf16 decode can flip near-ties; require high agreement + close dists
+    agree = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(ids), np.asarray(oids))
+    ])
+    assert agree >= 0.9, f"pq flat vs decoded oracle agreement {agree}"
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], np.asarray(od)[:, 0], rtol=5e-2, atol=5e-2
+    )
+
+
+def test_flat_pq_blocked_matches_oneshot(rng):
+    """Blocked scan (with tail) returns the same ids as the one-shot path."""
+    from lantern_tpu.flat import flat_search_pq
+    from lantern_tpu.quant.pq import pq_encode, train_codebook
+
+    base = rng.standard_normal((700, 16)).astype(np.float32)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    cb = train_codebook(base, num_subvectors=4, num_centroids=16, iters=8)
+    codes = pq_encode(base, cb)
+    d1, i1 = flat_search_pq(jnp.asarray(codes), jnp.asarray(cb.centroids),
+                            jnp.asarray(q), k=8, exact=True)
+    d2, i2 = flat_search_pq(jnp.asarray(codes), jnp.asarray(cb.centroids),
+                            jnp.asarray(q), k=8, exact=True, block=128)
+    # identical codes make exact ties; merge order may differ within a tie,
+    # so compare the id SETS per row and the distances positionally
+    for a, b in zip(np.asarray(i1), np.asarray(i2)):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+
+
+def test_flat_pq_deleted_and_index_dispatch(rng):
+    """Tombstones excluded; Index(pq=True) auto mode routes to flat ADC."""
+    from lantern_tpu.costmodel import choose_search_strategy
+
+    assert choose_search_strategy(10_000, 16, 1, quant_is_pq=True) == "flat"
+
+    base = rng.standard_normal((900, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=32, pq=True,
+                   num_centroids=32, num_subvectors=8)
+    ix = Index(p, capacity=900)
+    ix.train_pq(base)
+    ix.add(base)
+    d, labels = ix.search(base[:6], k=5, mode="flat")
+    assert (labels[:, 0] == np.arange(6)).all()  # self is nearest (decoded)
+    ix.delete(np.arange(6))
+    d2, labels2 = ix.search(base[:6], k=5, mode="flat")
+    assert not np.isin(labels2, np.arange(6)).any()
