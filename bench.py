@@ -84,11 +84,24 @@ def bench_config(n, dim, q, iters, host_build: bool):
     out = {"n": n, "dim": dim, "m": 16, "ef_construction": 128}
 
     # ---- device build ----
-    t0 = time.perf_counter()
-    g = build_on_device(base, params, batch=1024, seed=0)
-    jax.block_until_ready(g.neighbors0)
-    out["build_device_s"] = round(time.perf_counter() - t0, 1)
-    out["build_device_inserts_per_s"] = round(n / out["build_device_s"], 1)
+    # first build includes jit compiles (the ramped batch schedule is ~10
+    # distinct programs; 60-90 s each through the remote-compile tunnel when
+    # the persistent cache is cold); the second build is the steady-state
+    # number — what re-building or building another same-shape index costs.
+    # Timing closes with a SCALAR FETCH: block_until_ready is not a reliable
+    # completion barrier through the tunnel (CLAUDE.md) — the warm build
+    # otherwise "finishes" in 0.0 s.
+    def _timed_build():
+        t0 = time.perf_counter()
+        g = build_on_device(base, params, batch=1024, seed=0)
+        _ = int(jnp.sum(g.levels))  # scalar fetch = real completion barrier
+        return g, time.perf_counter() - t0
+
+    g, cold_s = _timed_build()
+    out["build_device_cold_s"] = round(cold_s, 1)
+    g, warm_s = _timed_build()
+    out["build_device_s"] = round(warm_s, 2)
+    out["build_device_inserts_per_s"] = round(n / max(warm_s, 1e-9), 1)
 
     # bf16 storage for the search paths (+25-30% QPS at equal recall)
     g_search = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
@@ -117,6 +130,34 @@ def bench_config(n, dim, q, iters, host_build: bool):
     _, ids_f, labs_f = flat_search_graph(g_search, queries[:nq_r], k=K,
                                          recall_target=0.95)
     out["flat"]["recall"] = round(_recall(_graph_labels_np(ids_f, labs_f), true_np), 4)
+
+    # ---- flat ADC scan over PQ codes (memory-parity path, BASELINE #4) ----
+    if os.environ.get("BENCH_SKIP_PQ") != "1":
+        from lantern_tpu.flat import flat_search_pq
+        from lantern_tpu.quant.pq import _encode_jit, _train_jit
+
+        # stay device-resident end to end (host<->device transfers stall
+        # through the tunnel — CLAUDE.md): jitted train/encode on the
+        # device arrays directly
+        cents = _train_jit(base[:100_000], 0, 32, 256, 10)
+        codes = _encode_jit(base, cents)
+
+        def pq_fn(codes_and_cents, qb):
+            cd, ct = codes_and_cents
+            d, _ = flat_search_pq(cd, ct, qb, k=K, recall_target=0.95)
+            return d
+
+        out["flat_pq"] = {
+            "qps": round(_timed_qps(pq_fn, (codes, cents), q_batches, q, iters), 1),
+            "code_bytes_per_vector": 32,
+        }
+        _, ids_pq = flat_search_pq(codes, cents, queries[:nq_r], k=K,
+                                   recall_target=0.95)
+        ids_pq = np.asarray(ids_pq)
+        out["flat_pq"]["recall_vs_f32_truth"] = round(float(np.mean([
+            len(set(a[a >= 0].tolist()) & set(b.tolist())) / K
+            for a, b in zip(ids_pq, true_np)
+        ])), 4)
 
     # ---- graph search: ef sweep, QPS + recall (device-built graph) ----
     out["graph"] = {}
@@ -223,7 +264,7 @@ def main():
     head = configs.get("n1m", configs["n100k"])
     flat_qps = head["flat"]["qps"]
     cpu = head["cpu_qps_ef64"]
-    print(json.dumps({
+    summary = {
         "metric": f"flat_search_qps_n{head['n']}_d{dim}",
         "value": flat_qps,
         "unit": "QPS",
@@ -231,9 +272,13 @@ def main():
         "flat_recall": head["flat"]["recall"],
         "graph_qps_ef64": head["graph"]["ef64"]["qps"],
         "graph_vs_baseline": round(head["graph"]["ef64"]["qps"] / cpu, 2),
+        "build_inserts_per_s": head["build_device_inserts_per_s"],
         "device": str(jax.devices()[0]),
         "configs": configs,
-    }))
+    }
+    if "flat_pq" in head:
+        summary["flat_pq_qps"] = head["flat_pq"]["qps"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

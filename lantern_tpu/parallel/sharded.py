@@ -211,7 +211,14 @@ def search_sharded(
         return d, gid, labels
 
     d, gid, labels = jax.vmap(local_search)(index.graphs, index.global_ids)
-    # [S, Q, k] -> [Q, S*k] global merge (one small cross-shard gather)
+    return _merge_topk(d, gid, labels, k)
+
+
+def _merge_topk(d, gid, labels, k: int):
+    """[S, Q, k] per-shard results -> [Q, k] global top-k.
+
+    One small cross-shard gather per query batch — the only collective in
+    the sharded search program."""
     s = d.shape[0]
     q = d.shape[1]
     d2 = jnp.transpose(d, (1, 0, 2)).reshape(q, s * k)
@@ -225,6 +232,37 @@ def search_sharded(
     out_lab = jnp.take_along_axis(lab2, arg[:, :, None], axis=1)
     out_lab = jnp.where((out_gid >= 0)[:, :, None], out_lab, jnp.uint32(0))
     return out_d, out_gid, out_lab
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
+def flat_search_sharded(
+    index: ShardedIndex,
+    queries: jax.Array,
+    k: int = 10,
+    exact: bool = False,
+    recall_target: float = 0.95,
+):
+    """Sharded FLAT scan: every device MXU-scans its shard, one top-k merge.
+
+    The multi-chip extension of the dominant single-chip path (flat.py):
+    each shard's stored table streams through its own MXU, so throughput
+    scales linearly with the shard axis while the merge collective stays
+    [S, Q, k]. Exact per-shard top-k composes to exact global top-k; with
+    approx_max_k the global recall is lower-bounded by the per-shard
+    recall_target (a miss needs the true neighbor dropped by its own shard).
+    PQ-coded shards run the decode-on-MXU ADC scan (flat_search_pq).
+    """
+    from lantern_tpu.flat import flat_search_graph
+
+    def local(graph: DeviceGraph, gids: jax.Array):
+        d, ids, labels = flat_search_graph(
+            graph, queries, k=k, exact=exact, recall_target=recall_target
+        )
+        gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
+        return d, gid, labels
+
+    d, gid, labels = jax.vmap(local)(index.graphs, index.global_ids)
+    return _merge_topk(d, gid, labels, k)
 
 
 def build_sharded_device(

@@ -158,3 +158,34 @@ def test_sharded_insert_delete(tmp_path):
     ix = delete_sharded(ix, np.arange(1200, 1204, dtype=np.uint64))
     _, gids2, _ = search_sharded(ix, q, k=3, ef=32)
     assert not np.isin(np.asarray(gids2), np.arange(1200, 1204)).any()
+
+
+def test_sharded_flat_exact_matches_oracle(sharded_ix):
+    """flat_search_sharded(exact=True) == global exact top-k (the per-shard
+    exact top-k composes exactly through the merge)."""
+    from lantern_tpu.parallel import flat_search_sharded
+
+    ix, base, mesh = sharded_ix
+    rng = np.random.default_rng(32)
+    queries = rng.standard_normal((12, 32)).astype(np.float32)
+    d, gids, labels = flat_search_sharded(ix, jnp.array(queries), k=10,
+                                          exact=True)
+    true_d, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
+    np.testing.assert_array_equal(np.asarray(gids), np.asarray(true_ids))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(true_d),
+                               rtol=2e-4, atol=2e-4)
+    joined = join_labels(np.asarray(labels))
+    np.testing.assert_array_equal(joined.astype(np.int64), np.asarray(gids))
+
+
+def test_sharded_flat_respects_tombstones(sharded_ix):
+    from lantern_tpu.parallel import flat_search_sharded
+    from lantern_tpu.parallel.sharded import delete_sharded
+
+    ix, base, mesh = sharded_ix
+    queries = base[:4]
+    _, gids0, _ = flat_search_sharded(ix, jnp.array(queries), k=5, exact=True)
+    assert (np.asarray(gids0)[:, 0] == np.arange(4)).all()
+    ix2 = delete_sharded(ix, np.arange(4, dtype=np.uint64))
+    _, gids1, _ = flat_search_sharded(ix2, jnp.array(queries), k=5, exact=True)
+    assert not np.isin(np.asarray(gids1), np.arange(4)).any()
