@@ -45,19 +45,30 @@ gt = [set(row.tolist()) for row in best_i]
 print(f"ground truth: {time.perf_counter()-t0:.0f}s", flush=True)
 
 p = HnswParams(dim=DIM, m=16, ef_construction=128)
-eng = NativeHnsw(p, capacity=N, seed=0)
-t0 = time.perf_counter()
-eng.add(base, nthreads=1)
-build_s = time.perf_counter() - t0
-print(f"host sequential build: {build_s:.0f}s", flush=True)
+snap = os.path.join(os.path.dirname(__file__), "host_1m.ldb")
+if os.path.exists(snap):
+    from lantern_tpu.storage.snapshot import load_snapshot
+
+    eng = load_snapshot(snap, engine="native")
+    build_s = -1.0  # loaded from snapshot; see a prior run for the time
+    print("loaded prior host build from snapshot", flush=True)
+else:
+    eng = NativeHnsw(p, capacity=N, seed=0)
+    t0 = time.perf_counter()
+    eng.add(base, nthreads=1)
+    build_s = time.perf_counter() - t0
+    print(f"host sequential build: {build_s:.0f}s", flush=True)
+    from lantern_tpu.storage.snapshot import save_snapshot
+
+    save_snapshot(eng, snap)
 
 out = {"n": N, "dim": DIM, "m": 16, "ef_construction": 128,
        "build_host_s": round(build_s, 1), "recall_host_build": {}}
 for ef in (64, 128, 256):
     hits = 0
     for i in range(NQ):
-        _, labs = eng.search(queries[i], k=K, ef=ef)
-        hits += len(set(int(x) for x in labs) & gt[i])
+        ids, _ = eng.search(queries[i], k=K, ef=ef)  # (ids, dists)
+        hits += len(set(int(x) for x in ids[:K]) & gt[i])
     out["recall_host_build"][f"ef{ef}"] = round(hits / (NQ * K), 4)
     print(f"ef{ef}: recall {out['recall_host_build'][f'ef{ef}']}", flush=True)
 

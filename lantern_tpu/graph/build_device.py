@@ -84,6 +84,18 @@ def _graph_view(st: BuildState) -> DeviceGraph:
     )
 
 
+def _sq_of(vecs, metric: Metric):
+    """Squared norms recomputed from gathered rows. Scalar gathers of a
+    precomputed sq_norms array lower to serialized element loads on TPU
+    (profiled: [4096, 24] f32 gather = 9.3 ms vs 1.8 ms for the [4096*40,
+    128] ROW gather feeding it) — summing squares of the already-gathered
+    vectors is fused VPU work, ~free."""
+    if metric == Metric.HAMMING:
+        return jnp.zeros(vecs.shape[:-1], jnp.float32)
+    v = vecs.astype(jnp.float32)
+    return jnp.sum(v * v, axis=-1)
+
+
 def _pair_dists(vecs_a, sq_a, vecs_b, sq_b, metric: Metric):
     """[B, C, d] x [B, E, d] -> [B, C, E] distances (l2sq/cos/hamming).
 
@@ -161,13 +173,23 @@ def _scatter_reverse(
     maxdeg: int,
     max_in: int,
     lane_chunk: int = 1024,
+    lane_budget: int | None = None,
 ):
     """Append sources into their targets' adjacency rows, pruning overflow
     with the selection heuristic. Conflicts: edges sorted by target; the
     first lane of each target segment performs the combined update; at most
     ``max_in`` incomers per target per round are kept (closest-first order
     is not guaranteed — matches the arbitrary arrival order of concurrent
-    inserts in the reference's threaded server)."""
+    inserts in the reference's threaded server).
+
+    ``lane_budget``: statically cap the number of lane slots processed after
+    compacting valid (first-occurrence) lanes to the front. Upper-level
+    rounds have at most ~B/m contributing nodes, so nearly every one of
+    their B*m lanes is masked — without the cap the lane pass costs as much
+    as level 0's (profiled 46 ms/level/round at B=1024). Callers pass a
+    many-sigma statistical bound; in the astronomically unlikely overflow,
+    excess targets merely miss this round's reverse edges (graph quality,
+    never correctness)."""
     e = targets.shape[0]
     r = adjacency.shape[0]
     order = jnp.argsort(jnp.where(targets >= 0, targets, jnp.int32(2**30)))
@@ -189,9 +211,14 @@ def _scatter_reverse(
     )
 
     # lane pass: one lane per first-occurrence target, chunked
-    pad = (-e) % lane_chunk
+    lane_all = jnp.where(first, t_sorted, -1)
+    if lane_budget is not None and lane_budget < e:
+        # compact valid lanes to the front (stable), then slice the budget
+        order2 = jnp.argsort((lane_all < 0).astype(jnp.int32), stable=True)
+        lane_all = lane_all[order2][:lane_budget]
+    pad = (-lane_all.shape[0]) % lane_chunk
     lane_t = jnp.concatenate(
-        [jnp.where(first, t_sorted, -1), jnp.full((pad,), -1, jnp.int32)]
+        [lane_all, jnp.full((pad,), -1, jnp.int32)]
     )
     nchunks = lane_t.shape[0] // lane_chunk
     c2 = maxdeg + max_in
@@ -216,9 +243,9 @@ def _scatter_reverse(
         cand_c = jnp.where(cvalid, cand, 0)
         t_safe = jnp.where(active, lt, 0)
         tvec = all_vectors[t_safe]
-        tsq = all_sq[t_safe]
+        tsq = _sq_of(tvec, metric)
         cvecs = all_vectors[cand_c]           # [L, c2, d]
-        csq = all_sq[cand_c]
+        csq = _sq_of(cvecs, metric)
         d_t = _pair_dists(tvec[:, None, :], tsq[:, None], cvecs, csq, metric)[:, 0, :]
         d_t = jnp.where(cvalid, d_t, _INF)
         count = jnp.sum(cvalid, axis=1)
@@ -244,7 +271,7 @@ def _scatter_reverse(
 
 
 def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
-                  max_in: int):
+                  max_in: int, flat_cand: bool = False):
     """Insert a batch of node ids (-1 = padding lane) into the graph.
 
     ``level_ids``: per-level static id lists (level_ids[l-1] = all node ids
@@ -252,6 +279,15 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     EXACT nearest nodes of that level — the upper layers are geometrically
     small (N/m^l nodes), so exact beats the reference's search-derived
     upper candidates at negligible matmul cost.
+
+    ``flat_cand``: generate the level-0 candidate pool with a masked FLAT
+    MXU scan of the already-built prefix instead of beam traversal. Profiled
+    on v5e at 100k: the beam search is 91% of the round (484 of 531 ms),
+    bound by serialized in-loop gathers; the flat scan replaces it with one
+    dense matmul + approx top-k. Candidates become (approximately) the TRUE
+    efc nearest built nodes — a strictly better pool than beam search's —
+    so this changes the constructed graph (for the better; recall parity is
+    asserted in tests either way).
     """
     metric = Metric(st.metric)
     b = ids.shape[0]
@@ -262,11 +298,24 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     active = ids >= 0
     safe_ids = jnp.where(active, ids, 0)
     qvecs = st.vectors[safe_ids]
-    qsq = st.sq_norms[safe_ids]
+    qsq = _sq_of(qvecs, metric)
 
-    # 1) candidate search of current graph (expand=4: fewer, wider
-    # frontier iterations — same pool quality, ~4x fewer serial steps)
-    d_cand, cand, _ = search_batched(_graph_view(st), qvecs, k=efc, ef=efc, expand=4)
+    if flat_cand:
+        # 1) exact(ish) candidates: one masked dense scan of rows [0, n)
+        from lantern_tpu.flat import flat_search
+
+        not_built = jnp.arange(cap, dtype=jnp.int32) >= st.n
+        block = None if cap <= (1 << 17) else (1 << 17)
+        d_cand, cand = flat_search(
+            st.vectors, st.sq_norms, qvecs, k=efc, metric=int(metric),
+            exact=False, recall_target=0.95, block=block, deleted=not_built,
+        )
+    else:
+        # 1) candidate search of current graph (expand=4: fewer, wider
+        # frontier iterations — same pool quality, ~4x fewer serial steps)
+        d_cand, cand, _ = search_batched(
+            _graph_view(st), qvecs, k=efc, ef=efc, expand=4
+        )
 
     # 2) within-batch candidates (exact); mask self and padding lanes
     wb_d_full = _pair_dists(
@@ -298,7 +347,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
 
     pool_c = jnp.where(pool_valid, pool_ids, 0)
     pvecs = st.vectors[pool_c]  # [B, C, d]
-    psq = st.sq_norms[pool_c]
+    psq = _sq_of(pvecs, metric)
     pair = _pair_dists(pvecs, psq, pvecs, psq, metric)  # [B, C, C]
 
     new_levels = jnp.where(active, st.levels[safe_ids], -1)
@@ -322,7 +371,10 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         metric,
         m0,
         max_in,
-        lane_chunk=4096,
+        # one chunk up to 16k lanes: the per-chunk selection heuristic is a
+        # sequential scan over c2 columns, so fewer chunks = fewer serial
+        # steps (4 chunks of 4096 cost ~2x one chunk of 16384 — profiled)
+        lane_chunk=16384,
     )
 
     # ---- upper levels: exact per-level candidate pools ----
@@ -333,7 +385,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         node_has = new_levels >= lvl
         lids = level_ids[lvl - 1]  # [Ll] -1 padded
         lvecs = st.vectors[jnp.maximum(lids, 0)]
-        lsq = st.sq_norms[jnp.maximum(lids, 0)]
+        lsq = _sq_of(lvecs, metric)
         d_up = _pair_dists(qvecs[None], qsq[None], lvecs[None], lsq[None], metric)[0]
         usable = (lids >= 0) & (lids < n0)  # inserted, not self (self not < n0)
         d_up = jnp.where(usable[None, :], d_up, _INF)
@@ -360,7 +412,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         pu_d = jnp.where(pu_ok, pu_d, _INF)
         pu_c = jnp.where(pu_ok, pu_ids, 0)
         puv = st.vectors[pu_c]
-        pusq = st.sq_norms[pu_c]
+        pusq = _sq_of(puv, metric)
         upair = _pair_dists(puv, pusq, puv, pusq, metric)
         sel = select_heuristic_batch(pu_d, upair, pu_ok, m)
         fwd = _mask_to_ids(pu_ids, sel, m)  # [B, m]
@@ -381,6 +433,9 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
             m,
             max_in,
             lane_chunk=4096,
+            # level >= 1 holds ~B/m of the batch (P(level>=l) = m^-l), so
+            # valid lanes ~ B edges; 4B is a >20-sigma bound
+            lane_budget=min(b * m, 4 * b),
         )
     upper = flat.reshape(ucap, LMAX, m)
 
@@ -400,10 +455,34 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("efc", "max_in"), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("efc", "max_in", "flat_cand"), donate_argnums=(0,)
+)
 def insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
-                 max_in: int) -> BuildState:
-    return _insert_round(st, ids, level_ids, efc, max_in)
+                 max_in: int, flat_cand: bool = False) -> BuildState:
+    return _insert_round(st, ids, level_ids, efc, max_in, flat_cand)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("efc", "max_in", "flat_cand"), donate_argnums=(0,)
+)
+def insert_rounds(st: BuildState, ids2d: jax.Array, level_ids: tuple,
+                  efc: int, max_in: int,
+                  flat_cand: bool = False) -> BuildState:
+    """R insert rounds as ONE dispatch: lax.scan over stacked ids [R, size].
+
+    With flat candidates the per-round device time is small, so per-call
+    dispatch latency (remote-execute tunnel) would otherwise dominate;
+    grouping consecutive equal-size rounds into one scanned program bounds
+    the dispatch count (compile count: one per (size, group-length) pair).
+    On local hardware the grouping is neutral.
+    """
+
+    def body(carry, ids):
+        return _insert_round(carry, ids, level_ids, efc, max_in, flat_cand), None
+
+    st, _ = jax.lax.scan(body, st, ids2d)
+    return st
 
 
 def ramped_batches(n: int, batch: int, min_batch: int = 32):
@@ -424,6 +503,32 @@ def ramped_batches(n: int, batch: int, min_batch: int = 32):
         pos += min(b, n - pos)
 
 
+ROUND_GROUP = 16  # max rounds fused into one insert_rounds dispatch
+
+
+def _grouped_round_ids(n: int, batch: int):
+    """Yield (ids2d [R, size], done_count): consecutive equal-size rounds of
+    the ramped schedule stacked into groups of <= ROUND_GROUP."""
+    pending: list[np.ndarray] = []
+    pend_size = -1
+    done = 0
+
+    def flush():
+        return np.stack(pending), done
+
+    for start, live, size in ramped_batches(n, batch):
+        ids = np.full(size, -1, np.int32)
+        ids[:live] = np.arange(start, start + live, dtype=np.int32)
+        if pending and (size != pend_size or len(pending) == ROUND_GROUP):
+            yield flush()
+            pending = []
+        pending.append(ids)
+        pend_size = size
+        done = start + live
+    if pending:
+        yield flush()
+
+
 def device_insert(
     graph: DeviceGraph,
     vectors,
@@ -432,12 +537,14 @@ def device_insert(
     seed: int = 0,
     max_in: int | None = None,
     ef_construction: int = 128,
+    candidates: str = "flat",
 ) -> DeviceGraph:
     """Incrementally insert vectors into an existing DeviceGraph.
 
     The device analog of ldb_aminsert (insert.c): the same batched insert
     rounds run against the live graph; arrays grow by doubling when capacity
     is exhausted (usearch_reserve semantics, build.c:117-126).
+    ``candidates``: see build_on_device (flat = masked dense scan pools).
     """
     import jax.numpy as jnp
 
@@ -551,7 +658,8 @@ def device_insert(
         ids = np.full(batch, -1, np.int32)
         ids[: end - pos] = np.arange(pos, end, dtype=np.int32)
         st = insert_round(st, jnp.asarray(ids), level_tuple,
-                          efc=ef_construction, max_in=max_in)
+                          efc=ef_construction, max_in=max_in,
+                          flat_cand=candidates == "flat")
         pos = end
 
     from lantern_tpu.graph.device import split_labels
@@ -594,16 +702,25 @@ def build_on_device(
     max_in: int | None = None,
     labels: np.ndarray | None = None,
     progress_cb=None,
+    candidates: str = "flat",
 ) -> DeviceGraph:
     """Build an HNSW graph for ``vectors`` entirely on device.
 
     Supports l2sq/cos over f32 (apply bf16/i8/PQ storage after build via
     to_device-style conversion). Returns a search-ready DeviceGraph.
 
+    ``candidates``: "flat" (default) generates each round's candidate pool
+    with a masked dense MXU scan of the built prefix — near-exact efc-NN
+    pools, no serialized in-loop gathers (see _insert_round); "beam" uses
+    batched HNSW traversal of the partial graph (the reference's
+    construction semantics, usearch_add's search phase).
+
     ``progress_cb(frac)`` is invoked with build progress in [0, 1] — the
     analog of the reference's pg_stat_progress_create_index phases
     (hnsw.c:43-57) and the CLI's percent callbacks (pq/mod.rs:26-56).
     """
+    if candidates not in ("flat", "beam"):
+        raise ValueError(f"candidates={candidates!r}; expected flat|beam")
     metric = Metric(params.metric)
     store_dtype = jnp.uint32 if metric == Metric.HAMMING else jnp.float32
     if isinstance(vectors, jax.Array):
@@ -676,21 +793,20 @@ def build_on_device(
     # near-max level anyway, and a single static level count means ONE compile
     level_tuple = tuple(level_id_arrays)
     last_pct = -1
-    for start, live, size in ramped_batches(n, batch):
-        ids = np.full(size, -1, np.int32)
-        ids[:live] = np.arange(start, start + live, dtype=np.int32)
-        st = insert_round(
+    for ids2d, done in _grouped_round_ids(n, batch):
+        st = insert_rounds(
             st,
-            jnp.asarray(ids),
+            jnp.asarray(ids2d),
             level_tuple,
             efc=params.ef_construction,
             max_in=max_in,
+            flat_cand=candidates == "flat",
         )
         if progress_cb is not None:
-            pct = (start + live) * 100 // n
+            pct = done * 100 // n
             if pct != last_pct:
                 last_pct = pct
-                progress_cb((start + live) / n)
+                progress_cb(done / n)
 
     if labels is None:
         labels_np = np.arange(n, dtype=np.uint64)

@@ -94,6 +94,10 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
             queries[:, None, :].astype(jnp.uint32), vecs.astype(jnp.uint32)
         )
         return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
+    # NOTE: the sq_norms scalar gather below is ~1 ms/iter (serialized
+    # element loads); recomputing x_sq from the gathered rows was tried and
+    # REVERTED — the second reduction over the [Q, C, d] block broke XLA's
+    # gather+dot fusion and cost 8x overall (7.6k -> 0.9k QPS at 100k).
     dots = jnp.einsum(
         "qd,qcd->qc",
         queries.astype(jnp.float32),
