@@ -177,33 +177,8 @@ def bench_config(n, dim, q, iters, host_build: bool):
         }
 
     # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
-    import ctypes
-
-    from lantern_tpu.native import get_lib
-
     ix = NativeHnsw(params, capacity=n, seed=0)
-    lib = get_lib()
-    nb0 = np.asarray(g.neighbors0[:n])
-    up = np.asarray(g.upper_neighbors)
-    slots = np.asarray(g.upper_slot[:n])
-    used = slots[slots >= 0]
-    n_upper = int(used.max()) + 1 if used.size else 1
-    args = [
-        np.ascontiguousarray(np.asarray(g.vectors[:n]), np.float32),
-        np.ascontiguousarray(nb0, np.int32),
-        np.ascontiguousarray((nb0 >= 0).sum(1).astype(np.int32), np.int32),
-        np.ascontiguousarray(up[:n_upper], np.int32),
-        np.ascontiguousarray((up[:n_upper] >= 0).sum(-1), np.int32),
-        np.ascontiguousarray(slots, np.int32),
-        np.ascontiguousarray(np.asarray(g.levels[:n]), np.int32),
-        np.arange(n, dtype=np.uint64),
-        np.zeros(n, np.uint8),
-    ]
-    rc = lib.ldb_index_import(
-        ix._h, n, n_upper, int(g.entry), int(g.max_level),
-        *[a.ctypes.data_as(ctypes.c_void_p) for a in args],
-    )
-    assert rc == 0, "graph export to native engine failed"
+    ix.import_graph(g)
     q_np = np.asarray(queries[:200])
     t0 = time.perf_counter()
     for i in range(len(q_np)):

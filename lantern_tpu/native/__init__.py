@@ -216,6 +216,46 @@ class NativeHnsw:
         return self._view("ldb_index_deleted", (cap,), np.uint8).astype(bool)
 
     # ---- operations ----
+    def import_graph(self, graph, labels: np.ndarray | None = None):
+        """Adopt a device-built graph (graph.build_device) as this engine's
+        state — the reverse of to_device(). The TPU builder is 10-14x faster
+        than this engine's sequential path, so the Index facade builds on
+        device and imports here for host-side serving/persistence (the role
+        StoreExternalIndex plays for the reference's external builds,
+        external_index.c:240)."""
+        import jax
+
+        g = jax.device_get(graph)
+        n = int(g.num_nodes)
+        if n > self._cap:
+            raise ValueError(f"graph has {n} nodes > capacity {self._cap}")
+        nb0 = np.ascontiguousarray(np.asarray(g.neighbors0[:n]), np.int32)
+        up = np.asarray(g.upper_neighbors)
+        slots = np.ascontiguousarray(np.asarray(g.upper_slot[:n]), np.int32)
+        used = slots[slots >= 0]
+        n_upper = int(used.max()) + 1 if used.size else 1
+        if labels is None:
+            from lantern_tpu.graph.device import join_labels
+
+            labels = join_labels(np.asarray(g.labels[:n]))
+        args = [
+            np.ascontiguousarray(np.asarray(g.vectors[:n]), self._vec_dtype),
+            nb0,
+            np.ascontiguousarray((nb0 >= 0).sum(1).astype(np.int32)),
+            np.ascontiguousarray(up[:n_upper], np.int32),
+            np.ascontiguousarray((up[:n_upper] >= 0).sum(-1).astype(np.int32)),
+            slots,
+            np.ascontiguousarray(np.asarray(g.levels[:n]), np.int32),
+            np.ascontiguousarray(labels, np.uint64),
+            np.ascontiguousarray(np.asarray(g.deleted[:n]), np.uint8),
+        ]
+        rc = self._lib.ldb_index_import(
+            self._h, n, n_upper, int(g.entry), int(g.max_level),
+            *[a.ctypes.data_as(ctypes.c_void_p) for a in args],
+        )
+        if rc != 0:
+            raise ValueError(self._lib.ldb_index_error(self._h).decode())
+
     def add(self, vecs: np.ndarray, labels: np.ndarray | None = None,
             nthreads: int = 0):
         vecs = np.ascontiguousarray(vecs, dtype=self._vec_dtype)

@@ -210,3 +210,36 @@ def test_build_progress_callback():
     build_on_device(base, p, batch=64, seed=0, progress_cb=fracs.append)
     assert fracs and abs(fracs[-1] - 1.0) < 1e-9
     assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+
+
+def test_index_device_bulk_build(rng, tmp_path):
+    """Index.add(build='device'): TPU bulk build imported into the native
+    engine — search parity with the device graph, snapshot round trip, and
+    host inserts keep working afterwards."""
+    import jax.numpy as jnp
+
+    from lantern_tpu.index import Index
+
+    base = rng.standard_normal((2000, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48)
+    ix = Index(p, capacity=16)  # undersized: _grow must kick in
+    ix.add(base, build="device")
+    assert ix.size == 2000
+    d, labels = ix.search(base[:8], k=5, mode="graph", ef=48)
+    assert (labels[:, 0] == np.arange(8)).all()
+    # the engine's own (CPU) search agrees on the imported graph
+    ids_cpu, _ = ix._eng.search(base[0], k=5, ef=48)
+    assert ids_cpu[0] == 0
+    # snapshot round trip preserves the imported graph
+    path = str(tmp_path / "dev.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    d2, labels2 = ix2.search(base[:8], k=5, mode="graph", ef=48)
+    np.testing.assert_array_equal(labels, labels2)
+    # incremental host inserts still work after a device bulk load
+    extra = rng.standard_normal((4, 32)).astype(np.float32)
+    ix.add(extra)
+    d3, labels3 = ix.search(extra, k=1, mode="graph", ef=48)
+    assert (labels3[:, 0] == 2000 + np.arange(4)).all()
+    with pytest.raises(ValueError, match="empty index"):
+        ix.add(extra, build="device")
