@@ -178,7 +178,7 @@ def _cmd_build_index(args):
                    ef_construction=args.efc, ef=args.ef,
                    metric=Metric.from_string(args.metric))
     ix = Index(p, capacity=len(vectors))
-    ix.add(vectors)
+    ix.add(vectors, build=args.build)
     ix.save(args.output)
     rep = ix.validate(full=False)
     print(f"built {ix.size} vectors -> {args.output} (valid={rep.ok})")
@@ -276,6 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--m", type=int, default=16)
     s.add_argument("--efc", type=int, default=128)
     s.add_argument("--ef", type=int, default=64)
+    # device = bulk-build on the TPU and import (the external-build analog,
+    # build.c:523-552); host = sequential native-engine inserts
+    s.add_argument("--build", choices=("device", "host"), default="device")
     s.set_defaults(fn=_cmd_build_index)
 
     s = sub.add_parser("search")

@@ -209,6 +209,32 @@ class _Handler(BaseHTTPRequestHandler):
                 ef=int(b.get("ef", 64)),
                 pq=bool(b.get("pq", False)),
             )
+            if b.get("external") and col.index.size:
+                # "external": true = rebuild with the fast external builder
+                # (reference: index.rs:51-84 issues CREATE INDEX WITH
+                # (external=true)); here the external builder is the TPU
+                # device build, imported back into the serving engine
+                import dataclasses as _dc
+
+                with col.lock:
+                    old = col.index
+                    n = old.size
+                    vecs = np.asarray(old._eng.vectors[:n], np.float32).copy()
+                    labels = np.asarray(old._eng.labels[:n]).copy()
+                    dead = labels[np.asarray(old._eng.deleted[:n]).astype(bool)]
+                    params = _dc.replace(
+                        old.params,
+                        m=int(b.get("m", old.params.m)),
+                        ef_construction=int(
+                            b.get("ef_construction", old.params.ef_construction)
+                        ),
+                        ef=int(b.get("ef", old.params.ef)),
+                    )
+                    new_ix = Index(params, capacity=max(n, 8))
+                    new_ix.add(vecs, labels=labels, build="device")
+                    if len(dead):
+                        new_ix.delete(dead)
+                    col.index = new_ix
             return self._reply(200, {"indexed": col.index.size})
         if sub == "/index" and method == "DELETE":
             col.index = None

@@ -17,7 +17,7 @@ from lantern_tpu.service.daemon import Daemon, JobQueue
 from lantern_tpu.service.http_api import HttpApi
 
 
-def _req(method, url, body=None, auth=None):
+def _req(method, url, body=None, auth=None, timeout=10):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(url, data=data, method=method)
     req.add_header("Content-Type", "application/json")
@@ -26,7 +26,7 @@ def _req(method, url, body=None, auth=None):
 
         req.add_header("Authorization",
                        "Basic " + base64.b64encode(auth.encode()).decode())
-    with urllib.request.urlopen(req, timeout=10) as r:
+    with urllib.request.urlopen(req, timeout=timeout) as r:
         return r.status, json.loads(r.read())
 
 
@@ -397,3 +397,22 @@ def test_local_vision_runtime(tmp_path):
         0, 255, (32, 32, 3), dtype=np.uint8) for i in range(3)]
     e = rt.process(imgs)
     assert e.shape == (3, 16) and np.isfinite(e).all()
+
+
+def test_http_external_index_rebuild(api, rng):
+    """POST /index with external=true rebuilds via the device builder
+    (the CREATE INDEX WITH (external=true) analog, index.rs:51-84)."""
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "ext", "metric": "l2sq"})
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [{"vector": v.tolist(), "i": i} for i, v in enumerate(vecs)]
+    code, _ = _req("POST", base + "/collections/ext/rows", {"rows": rows})
+    assert code == 200
+    # device build jit-compiles on first use: generous timeout
+    code, res = _req("POST", base + "/collections/ext/index",
+                     {"external": True, "m": 8, "ef_construction": 48},
+                     timeout=300)
+    assert code == 200 and res["indexed"] == 300
+    code, res = _req("POST", base + "/collections/ext/search",
+                     {"vector": vecs[5].tolist(), "k": 3})
+    assert code == 200 and res["results"][0]["i"] == 5
