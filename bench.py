@@ -46,9 +46,15 @@ def _timed_qps(search_fn, graph, q_batches, q, iters):
         return acc
 
     _ = float(timed(graph, q_batches))  # compile + warm
-    t0 = time.perf_counter()
-    _ = float(timed(graph, q_batches + 1e-3))
-    return q * iters / (time.perf_counter() - t0)
+    # best-of-2: the FIRST post-compile execution is often 2-3x slow through
+    # the remote-execute tunnel (measured on the PQ scan: 75 ms single-shot
+    # vs 29 ms steady-state) — one timed run under-reports steady-state QPS
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        _ = float(timed(graph, q_batches + 1e-3 * (rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return q * iters / best
 
 
 def _recall(found_labels, true_ids):

@@ -167,7 +167,14 @@ def flat_search(
             )
             if deleted is not None:
                 s = jnp.where(deleted[nb * block:][None, :], -jnp.inf, s)
-            td, ti = jax.lax.top_k(s, min(k, tail))
+            kt = min(k, tail)
+            # exact top_k is a slow TPU custom call (profiled 34 ms at
+            # tail=82k, B=1024) — use the approx reduction unless exact
+            # results were requested
+            if exact or kt >= tail:
+                td, ti = jax.lax.top_k(s, kt)
+            else:
+                td, ti = jax.lax.approx_max_k(s, kt, recall_target=recall_target)
             pad = k - ti.shape[1]
             if pad:
                 td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)
@@ -211,49 +218,54 @@ def flat_search_pq(
     metric: int = int(Metric.L2SQ),
     exact: bool = False,
     recall_target: float = 0.95,
-    block: int = 1 << 16,
+    block: int = 1 << 19,
     deleted: jax.Array | None = None,
 ):
     """Flat ADC scan over PQ codes — decode-on-MXU, then dense scoring.
 
     The graph's ADC path (quant/pq.adc_distances) gathers per-candidate LUT
     entries; for a FULL-table scan the decoded block is reused across every
-    query in the batch, so it's cheaper to reconstruct each block once
-    (one-hot x codebook contraction, the Quick-ADC trick upside down) and
+    query in the batch, so it's cheaper to reconstruct each block once and
     score it with one dense matmul:
 
         decoded[b]  = concat_s centroids[s, codes[b, s]]      (bf16, MXU)
         score[q, b] = 2<q, decoded[b]> - ||decoded[b]||^2     (l2sq ranks)
 
+    Decode runs as a Pallas kernel (ops/pallas_kernels.pq_decode_mxu): the
+    flat one-hot lives only in VMEM and the contraction is one MXU-shaped
+    [TB, S*K] @ [S*K, dim] dot. ||decoded||^2 comes from the decoded block
+    itself (subspaces are disjoint dims, so |x|^2 = sum_s |x_s|^2 exactly).
+    Decode FLOPs are per-BLOCK, independent of the query count — large
+    query batches amortize them toward the plain-bf16 scan rate.
+
     Distances equal asymmetric PQ distances (exact query vs reconstructed
-    vector) to bf16 precision. Decode adds K/dim extra FLOPs per scored
-    element (~2x at K=256, dim=128) but stays MXU-bound; HBM traffic is the
-    CODE bytes (N*S), 16x less than an f32 table at S=dim/4.
+    vector) to bf16 precision. HBM traffic is the CODE bytes (N*S), 16x
+    less than an f32 table at S=dim/4.
     Reference bar: the PQ search path (pqtable.c, scan.c:75-81 codebook
     load), reconstructed distance semantics of usearch's pq metric.
     """
+    from lantern_tpu.ops.pallas_kernels import codebook_blockdiag, pq_decode_mxu
+
     metric = Metric(metric)
     if metric == Metric.HAMMING:
         raise ValueError("PQ scan supports l2sq/cos only")
     n, s = codes.shape
-    _, kc, dsub = centroids.shape
     q = queries.shape[0]
     k_out = k
     k = min(k, n)
     qf = queries.astype(jnp.float32)
     q_sq = jnp.sum(qf * qf, axis=1)
-    cent_bf = centroids.astype(jnp.bfloat16)
-    c_sq = jnp.sum(centroids * centroids, axis=-1)  # [S, K] f32
+    cb_flat = codebook_blockdiag(centroids)
+    qf_bf = qf.astype(jnp.bfloat16)
+    interp = jax.default_backend() == "cpu"
 
     def block_scores(codes_b, del_b):
-        oh = jax.nn.one_hot(codes_b.astype(jnp.int32), kc, dtype=jnp.bfloat16)
-        dec = jnp.einsum("bsk,skd->bsd", oh, cent_bf,
-                         preferred_element_type=jnp.bfloat16)
-        dec = dec.reshape(codes_b.shape[0], s * dsub)
-        x_sq = jnp.einsum("bsk,sk->b", oh, c_sq,
-                          preferred_element_type=jnp.float32)
+        dec = pq_decode_mxu(codes_b, cb_flat, interpret=interp)  # [B, dim] bf16
+        x_sq = jnp.sum(
+            dec.astype(jnp.float32) * dec.astype(jnp.float32), axis=1
+        )
         dots = jax.lax.dot_general(
-            qf.astype(jnp.bfloat16), dec, (((1,), (1,)), ((), ())),
+            qf_bf, dec, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if metric == Metric.L2SQ:
@@ -299,7 +311,11 @@ def flat_search_pq(
                 codes[nb * block:],
                 deleted[nb * block:] if deleted is not None else None,
             )
-            td, ti = jax.lax.top_k(sc, min(k, tail))
+            kt = min(k, tail)
+            if exact or kt >= tail:
+                td, ti = jax.lax.top_k(sc, kt)
+            else:
+                td, ti = jax.lax.approx_max_k(sc, kt, recall_target=recall_target)
             pad = k - ti.shape[1]
             if pad:
                 td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)

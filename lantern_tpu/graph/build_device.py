@@ -152,13 +152,18 @@ def select_heuristic_batch(pool_d, pair_d, keep_mask, m):
 
 
 def _mask_to_ids(pool_ids, selected, m):
-    """Compact a selection mask to m id slots (-1 padded), preserving order."""
+    """Compact a selection mask to m id slots (-1 padded), preserving order.
+
+    One multi-operand lax.sort: argsort + 2x take_along_axis lowered to
+    serialized element gathers (profiled 44 ms/round at 1M).
+    """
     b, c = pool_ids.shape
     key = jnp.where(selected, jax.lax.broadcasted_iota(jnp.int32, (b, c), 1), c + 1)
-    order = jnp.argsort(key, axis=1)[:, :m]
-    picked = jnp.take_along_axis(pool_ids, order, axis=1)
-    valid = jnp.take_along_axis(selected, order, axis=1)
-    return jnp.where(valid, picked, -1)
+    _, picked, valid_i = jax.lax.sort(
+        (key, pool_ids, selected.astype(jnp.int32)),
+        dimension=1, num_keys=1, is_stable=False,
+    )
+    return jnp.where(valid_i[:, :m] > 0, picked[:, :m], -1)
 
 
 def _scatter_reverse(
@@ -250,14 +255,26 @@ def _scatter_reverse(
         d_t = jnp.where(cvalid, d_t, _INF)
         count = jnp.sum(cvalid, axis=1)
         overflow = count > maxdeg
-        # sort candidates by distance to target
-        sort_i = jnp.argsort(d_t, axis=1)
-        cand_s = jnp.take_along_axis(cand, sort_i, axis=1)
-        valid_s = jnp.take_along_axis(cvalid, sort_i, axis=1)
-        d_s = jnp.take_along_axis(d_t, sort_i, axis=1)
-        cvecs_s = jnp.take_along_axis(cvecs, sort_i[:, :, None], axis=1)
-        csq_s = jnp.take_along_axis(csq, sort_i, axis=1)
-        pair = _pair_dists(cvecs_s, csq_s, cvecs_s, csq_s, metric)
+        # sort candidates by distance to target. One multi-operand sort for
+        # the scalar payloads; the pairwise matrix is computed UNSORTED and
+        # permuted on the MXU with the one-hot permutation (argsort +
+        # take_along_axis lowered to serialized element gathers; the [L,c2,d]
+        # vector reshuffle alone profiled 28 ms/round at 1M).
+        iota = jax.lax.broadcasted_iota(jnp.int32, d_t.shape, 1)
+        d_s, cand_s, valid_i, perm = jax.lax.sort(
+            (d_t, cand, cvalid.astype(jnp.int32), iota),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+        valid_s = valid_i > 0
+        pair_u = _pair_dists(cvecs, csq, cvecs, csq, metric)
+        p_mat = jax.nn.one_hot(perm, d_t.shape[1], dtype=jnp.float32)
+        # pair[i, j] = pair_u[perm[i], perm[j]]
+        pair = jnp.einsum(
+            "lij,ljk->lik", p_mat,
+            jnp.einsum("ljk,lmk->ljm", pair_u, p_mat,
+                       preferred_element_type=jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
         sel_mask = select_heuristic_batch(d_s, pair, valid_s, maxdeg)
         pruned = _mask_to_ids(cand_s, sel_mask, maxdeg)
         appended = _mask_to_ids(cand_s, valid_s, maxdeg)

@@ -101,3 +101,83 @@ def hamming_exact_topk(
         best_d = -neg_top
         best_i = jnp.take_along_axis(cat_i, arg, axis=1)
     return best_d, best_i
+
+
+# ---------------------------------------------------------------------------
+# PQ decode on the MXU
+# ---------------------------------------------------------------------------
+
+def _pq_decode_kernel(codes_ref, cb_ref, exp_ref, colc_ref, out_ref):
+    """One row tile: out[r, :] = concat_s centroids[s, codes[r, s], :].
+
+    The one-hot [TB, S*K] is built in VMEM (never touches HBM) and
+    contracted against the block-diagonal codebook [S*K, dim] in ONE
+    MXU-shaped matmul. The XLA formulation (per-subspace batched matmuls
+    with output dim d_sub=4) runs the MXU at ~3% utilization and
+    materializes a [B, S, K] one-hot in HBM (~1 GB per 64k block at S=32,
+    K=256) — profiled 22 ms per 1M-row scan vs ~27 ms for this kernel's
+    whole scan at Q=256 and ~35 ms at Q=1024.
+
+    The kernel is VPU-bound on the one-hot build (compare+select over
+    TB x S*K elements; the [TB,8192]@[8192,128] dot itself is ~11 ms/1M),
+    so the spread step codes[r, s(col)] runs on the MXU via a 0/1 expander
+    matrix (measured 7 ms/1M faster than jnp.repeat's lane relayout) and
+    the compare runs in f32 against a precomputed per-column code id.
+    """
+    c = codes_ref[:].astype(jnp.bfloat16)      # [TB, S]; codes < 256 exact
+    rep = jnp.dot(c, exp_ref[:], preferred_element_type=jnp.float32)
+    oh = (rep == colc_ref[:]).astype(jnp.bfloat16)
+    out_ref[:] = jnp.dot(
+        oh, cb_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
+    """[S, K, dsub] f32 codebook -> block-diagonal [S*K, S*dsub] bf16 so a
+    flat one-hot of (subspace, code) decodes the full vector in one dot."""
+    s, kc, dsub = centroids.shape
+    eye = jnp.eye(s, dtype=jnp.bfloat16)
+    blk = eye[:, None, :, None] * centroids.astype(jnp.bfloat16)[:, :, None, :]
+    return blk.reshape(s * kc, s * dsub)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pq_decode_mxu(
+    codes: jax.Array,        # [N, S] integer codes
+    cb_flat: jax.Array,      # [S*K, dim] block-diagonal bf16 codebook
+    tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode PQ codes to bf16 vectors [N, dim] with a Pallas MXU kernel."""
+    n, s = codes.shape
+    sk, dim = cb_flat.shape
+    kc = sk // s
+    if kc > 256:
+        raise ValueError("pq_decode_mxu: codes must be 8-bit (K <= 256)")
+    tile = min(tile, max(16, n))
+    npad = -(-n // tile) * tile
+    codes_i = jnp.pad(codes.astype(jnp.int32), ((0, npad - n), (0, 0)))
+    # expander spreads codes to their subspace's K columns on the MXU;
+    # colc holds each flat column's centroid id for the equality test.
+    # Built from iota compares (a scatter here would serialize on TPU and,
+    # sitting inside the caller's jit, re-run on every query batch).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, sk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, sk), 1)
+    exp = (cols // kc == rows).astype(jnp.bfloat16)
+    colc = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1) % kc
+    ).astype(jnp.float32)
+    out = pl.pallas_call(
+        _pq_decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((npad, dim), jnp.bfloat16),
+        grid=(npad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, s), lambda i: (i, 0)),
+            pl.BlockSpec((sk, dim), lambda i: (0, 0)),
+            pl.BlockSpec((s, sk), lambda i: (0, 0)),
+            pl.BlockSpec((1, sk), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0)),
+        interpret=interpret,
+    )(codes_i, cb_flat, exp, colc)
+    return out[:n]
