@@ -699,12 +699,28 @@ def device_insert(
         out_vecs, out_scales = quantize_i8(st.vectors)
     elif restore_quant is not None:
         out_vecs = st.vectors.astype(restore_quant)
+    # slot->id map for the new total: keep the n_upper0 real slots, append
+    # the batch's new upper nodes in slot order, blank-pad to ucap_new
+    from lantern_tpu.graph.device import upper_ids_from_slots
+
+    up_ids = np.full(ucap_new, -1, np.int32)
+    if graph.upper_ids is not None:
+        old_ids = np.asarray(graph.upper_ids)
+        up_ids[:n_upper0] = old_ids[:n_upper0]
+    else:
+        up_ids[:n_upper0] = upper_ids_from_slots(
+            old_slots, max(n_upper0, 1)
+        )[:n_upper0]
+    up_ids[n_upper0 : n_upper0 + add_upper] = (
+        n0 + np.nonzero(new_levels >= 1)[0].astype(np.int32)
+    )
     return DeviceGraph(
         vectors=out_vecs, sq_norms=st.sq_norms, neighbors0=st.neighbors0,
         upper_neighbors=st.upper_neighbors, upper_slot=st.upper_slot,
         levels=st.levels, labels=lab, deleted=deleted,
         entry=st.entry, max_level=st.max_level,
         num_nodes=jnp.asarray(need, jnp.int32),
+        upper_ids=jnp.asarray(up_ids),
         m=m, dim=graph.dim, metric=int(metric), quant=graph.quant,
         vec_scales=out_scales,
         use_pallas=graph.use_pallas,
@@ -829,7 +845,7 @@ def build_on_device(
         labels_np = np.arange(n, dtype=np.uint64)
     else:
         labels_np = np.asarray(labels, np.uint64)
-    from lantern_tpu.graph.device import split_labels
+    from lantern_tpu.graph.device import split_labels, upper_ids_from_slots
 
     return DeviceGraph(
         vectors=st.vectors,
@@ -843,6 +859,7 @@ def build_on_device(
         entry=st.entry,
         max_level=st.max_level,
         num_nodes=jnp.asarray(n, jnp.int32),
+        upper_ids=jnp.asarray(upper_ids_from_slots(upper_slot, ucap)),
         m=m,
         dim=params.dim,
         metric=int(metric),

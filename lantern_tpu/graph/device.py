@@ -50,6 +50,11 @@ class DeviceGraph:
     # quantization payloads (None when unused)
     vec_scales: jax.Array | None = None   # [cap] f32 per-vector i8 scales
     pq_codebook: jax.Array | None = None  # [S, K, dsub] f32
+    # upper_ids[slot] = node id (-1 for the dummy/blank slots): the inverse
+    # of upper_slot, kept so search can score ALL upper-level nodes with one
+    # dense MXU scan instead of a serialized greedy descent (profiled 101 ms
+    # of a 260 ms batch at 1M). None -> search falls back to greedy descent.
+    upper_ids: jax.Array | None = None    # [ucap] int32
     # static (hashable) metadata — changing these retriggers jit
     m: int = struct.field(pytree_node=False, default=16)
     dim: int = struct.field(pytree_node=False, default=0)
@@ -68,6 +73,15 @@ class DeviceGraph:
     @property
     def m0(self) -> int:
         return self.neighbors0.shape[1]
+
+
+def upper_ids_from_slots(upper_slot: np.ndarray, ucap: int) -> np.ndarray:
+    """Invert a node->slot map to slot->node ids ([ucap] int32, -1 blanks)."""
+    slots = np.asarray(upper_slot, np.int32)
+    ids = np.full(ucap, -1, np.int32)
+    has = slots >= 0
+    ids[slots[has]] = np.nonzero(has)[0].astype(np.int32)
+    return ids
 
 
 def _sq_norms_np(vectors: np.ndarray, metric: Metric) -> np.ndarray:
@@ -147,6 +161,9 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
         num_nodes=jnp.asarray(n, jnp.int32),
         vec_scales=vec_scales,
         pq_codebook=pq_cb,
+        upper_ids=jnp.asarray(
+            upper_ids_from_slots(host.upper_slot[:n], max(host.n_upper, 1))
+        ),
         m=host.p.m,
         dim=host.p.dim,
         metric=int(metric),

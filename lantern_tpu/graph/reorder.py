@@ -123,6 +123,14 @@ def reorder_bfs(graph: DeviceGraph) -> DeviceGraph:
         vec_scales=(
             graph.vec_scales[:cap][perm] if graph.vec_scales is not None else None
         ),
+        upper_ids=(
+            jnp.where(
+                graph.upper_ids >= 0,
+                inv[jnp.maximum(graph.upper_ids, 0)],
+                -1,
+            )
+            if graph.upper_ids is not None else None
+        ),
         pq_codebook=graph.pq_codebook,
         m=graph.m,
         dim=graph.dim,

@@ -13,14 +13,17 @@ becomes a *batched* search over a block of Q queries:
   gather+contraction, and merges via jax.lax.top_k;
 - termination: the classic HNSW criterion (best unexpanded > worst of a full
   beam) vectorized as a per-query active mask inside lax.while_loop.
+- entry selection: one dense MXU scan over the ~n/m upper-level nodes
+  (graph.upper_ids) — the exact best upper entry, no serialized descent.
 
 Deleted nodes participate in traversal but are filtered from results,
 matching the tombstone semantics of scan.c:296-300 / delete.c.
 
 Everything is statically shaped: beam width ef, candidate block expand*2M,
-visited set a [Q, cap+1] byte mask (row cap+1 is the spill slot for clipped
-invalid ids). No data-dependent shapes anywhere, so XLA compiles one fused
-program per (ef, k, expand) configuration.
+re-visit filtering via the beam itself plus a [Q, expand*max_iters] log of
+expanded ids (pure-VPU membership compares; no O(Q x cap) visited buffer).
+No data-dependent shapes anywhere, so XLA compiles one fused program per
+(ef, k, expand) configuration.
 """
 
 from __future__ import annotations
@@ -167,6 +170,63 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
     return curr, curr_d
 
 
+def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
+    """Entry selection by ONE dense scan over the upper-level node set.
+
+    The reference walks upper layers greedily per query (scan.c via
+    usearch_search_ef's descent). Batched lockstep greedy descent serializes
+    ~100 while-loop steps (profiled 101 ms of a 260 ms batch at 1M, mostly
+    loop overhead); the upper node set is only ~n/m nodes, so scoring ALL of
+    them with one MXU scan is faster AND yields the exact best upper entry
+    (greedy descent only finds a local minimum of the level-1 graph).
+
+    Requires graph.upper_ids (slot -> node id). Returns (entry_ids [Q],
+    entry_d [Q]).
+    """
+    from lantern_tpu.flat import flat_search, flat_search_pq
+    from lantern_tpu.graph.device import QUANT_PQ
+
+    uids = graph.upper_ids
+    safe = jnp.maximum(uids, 0)
+    # blank slots, and (mid-growth graphs) planned-but-not-yet-inserted nodes
+    excluded = jnp.logical_or(uids < 0, safe >= graph.num_nodes)
+    if graph.quant == QUANT_PQ:
+        d, loc = flat_search_pq(
+            graph.vectors[safe], graph.pq_codebook, queries,
+            k=1, metric=graph.metric, deleted=excluded,
+        )
+    else:
+        d, loc = flat_search(
+            graph.vectors[safe],
+            graph.sq_norms[safe],
+            queries,
+            k=1,
+            metric=graph.metric,
+            vec_scales=(
+                graph.vec_scales[safe] if graph.vec_scales is not None else None
+            ),
+            deleted=excluded,
+        )
+    found = loc[:, 0] >= 0
+    entry_ids = jnp.where(
+        found, safe[jnp.clip(loc[:, 0], 0, safe.shape[0] - 1)], graph.entry
+    )
+    # rare fallback (no scorable upper node): true distance to graph.entry
+    # so the entry itself stays a valid result candidate
+    q = queries.shape[0]
+    lut0 = None
+    if graph.quant == QUANT_PQ:
+        from lantern_tpu.quant.pq import adc_lut
+
+        lut0 = adc_lut(queries, graph.pq_codebook, Metric(graph.metric))
+    dflt = _candidate_dists(
+        graph, queries, q_sq,
+        jnp.broadcast_to(graph.entry, (q,))[:, None], lut0,
+    )[:, 0]
+    entry_d = jnp.where(found, d[:, 0], dflt)
+    return entry_ids, entry_d
+
+
 def _dedup_fresh(ids, fresh):
     """Within-row dedup: keep only the first occurrence of each id.
 
@@ -216,7 +276,6 @@ def search_batched(
     cap = graph.cap
     m0 = graph.m0
     c = expand * m0
-    rowq = jnp.arange(q)[:, None]
 
     metric = Metric(graph.metric)
     if metric == Metric.HAMMING:
@@ -231,19 +290,28 @@ def search_batched(
         from lantern_tpu.quant.pq import adc_lut
         lut = adc_lut(queries, graph.pq_codebook, metric)
 
-    entry_ids, entry_d = _upper_descent(graph, queries, q_sq, lut)
+    if graph.upper_ids is not None and graph.upper_ids.shape[0] > 1:
+        entry_ids, entry_d = _upper_entry_scan(graph, queries, q_sq)
+    else:
+        entry_ids, entry_d = _upper_descent(graph, queries, q_sq, lut)
 
     # ---- level-0 beam state ----
     beam_d = jnp.full((q, ef), _INF).at[:, 0].set(entry_d)
     beam_ids = jnp.full((q, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
     expanded = jnp.zeros((q, ef), bool)
-    # visited set: BIT-PACKED [Q, ceil((cap+1)/32)] u32 — 8x smaller than a
-    # byte mask, so the per-iteration read-modify-write stays cheap at
-    # multi-million-node caps (id `cap` is the spill bit for masked lanes)
-    vwords = (cap + 1 + 31) // 32
-    visited = jnp.zeros((q, vwords), jnp.uint32).at[
-        rowq[:, 0], entry_ids >> 5
-    ].set(jnp.uint32(1) << (entry_ids & 31).astype(jnp.uint32))
+    # Re-visit filter: candidates already IN the beam, or in the log of
+    # every id ever expanded, are skipped. The former visited BITMASK
+    # ([Q, (cap+1)/32] u32) needed a take_along_axis word gather + scatter
+    # per iteration — serialized element ops, 62 ms of a 260 ms batch at
+    # 1M — and O(Q*cap) memory (1.3 GB/batch at 10M). The log holds at most
+    # expand*max_iters ids, so membership is a pure-VPU broadcast compare.
+    # Semantics vs the bitmask: a node that entered the beam, was displaced,
+    # and is rediscovered later gets re-SCORED (never re-expanded) — wasted
+    # distance rows only; results are identical because re-merging an id
+    # worse than the current beam floor cannot change the beam.
+    log_w = expand * max_iters
+    exp_log = jnp.full((q, log_w), -2, jnp.int32)  # -2: matches no id
+    visited_n = jnp.ones((q,), jnp.int32)  # entry counts as visited
 
     def active_mask(beam_d, beam_ids, expanded):
         valid = beam_ids >= 0
@@ -253,13 +321,13 @@ def search_batched(
         return jnp.logical_and(jnp.any(unexp, axis=1), best_unexp <= worst)
 
     def cond(state):
-        beam_d, beam_ids, expanded, visited, it = state
+        beam_d, beam_ids, expanded, exp_log, visited_n, it = state
         return jnp.logical_and(
             it < max_iters, jnp.any(active_mask(beam_d, beam_ids, expanded))
         )
 
     def body(state):
-        beam_d, beam_ids, expanded, visited, it = state
+        beam_d, beam_ids, expanded, exp_log, visited_n, it = state
         act = active_mask(beam_d, beam_ids, expanded)
 
         # pick `expand` best unexpanded entries per active query.
@@ -283,31 +351,27 @@ def search_batched(
             sel_valid[:, :, None],
         )
         expanded = jnp.logical_or(expanded, jnp.any(sel_oh, axis=1))
+        # append the expanded ids to the log (contiguous small write)
+        exp_log = jax.lax.dynamic_update_slice(
+            exp_log,
+            jnp.where(sel_valid, sel_ids[:, :expand], -2),
+            (jnp.int32(0), it * expand),
+        )
 
         # gather neighbor lists -> candidate block [Q, C]
         nbrs = graph.neighbors0[exp_ids].reshape(q, c)
         valid = nbrs >= 0
         nbrs_c = jnp.where(valid, nbrs, cap)
-        words = nbrs_c >> 5                                   # [Q, C]
-        bits = jnp.uint32(1) << (nbrs_c & 31).astype(jnp.uint32)
-        old = jnp.take_along_axis(visited, words, axis=1)     # [Q, C] u32
-        seen = (old & bits) != 0
-        fresh = jnp.logical_and(valid, jnp.logical_not(seen))
+        in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
+        in_log = jnp.any(nbrs[:, :, None] == exp_log[:, None, :], axis=2)
+        fresh = jnp.logical_and(
+            valid, jnp.logical_not(jnp.logical_or(in_beam, in_log))
+        )
         # dedup unconditionally: expanded nodes can share neighbors
         # (expand>1) and imported graphs may carry duplicate adjacency
         # entries — a duplicate candidate would enter the beam twice
         fresh = _dedup_fresh(nbrs, fresh)
-        # conflict-free bit scatter: several candidates can share a word, so
-        # each position writes the OR of ALL same-word fresh bits (identical
-        # value per word -> duplicate-index scatter is deterministic);
-        # distinct fresh ids have distinct bits, so sum == OR
-        contrib = jnp.where(fresh, bits, jnp.uint32(0))
-        same_word = words[:, :, None] == words[:, None, :]
-        combined = jnp.sum(
-            jnp.where(same_word, contrib[:, None, :], jnp.uint32(0)), axis=2
-        )
-        newval = old | combined
-        visited = visited.at[rowq, words].set(newval)
+        visited_n = visited_n + jnp.sum(fresh, axis=1).astype(jnp.int32)
 
         d = _candidate_dists(graph, queries, q_sq, jnp.where(fresh, nbrs_c, 0), lut)
         d = jnp.where(fresh, d, _INF)
@@ -325,10 +389,10 @@ def search_batched(
         beam_d = s_d[:, :ef]
         beam_ids = s_ids[:, :ef]
         expanded = s_exp[:, :ef].astype(bool)
-        return beam_d, beam_ids, expanded, visited, it + 1
+        return beam_d, beam_ids, expanded, exp_log, visited_n, it + 1
 
-    beam_d, beam_ids, expanded, visited, iters_done = jax.lax.while_loop(
-        cond, body, (beam_d, beam_ids, expanded, visited, jnp.int32(0))
+    beam_d, beam_ids, expanded, exp_log, visited_n, iters_done = jax.lax.while_loop(
+        cond, body, (beam_d, beam_ids, expanded, exp_log, visited_n, jnp.int32(0))
     )
 
     # filter tombstones + invalid, take final top-k (delete.c semantics)
@@ -349,7 +413,7 @@ def search_batched(
     if with_stats:
         stats = {
             "iterations": iters_done,
-            "visited": jnp.sum(_popcount_u32(visited), axis=1).astype(jnp.int32),
+            "visited": visited_n,  # nodes whose distance was computed
             "expanded": jnp.sum(
                 jnp.logical_and(expanded, beam_ids >= 0), axis=1
             ).astype(jnp.int32),

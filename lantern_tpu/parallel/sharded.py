@@ -120,7 +120,7 @@ def _stack_engines(shards, gids, params: HnswParams, mesh: Mesh) -> ShardedIndex
     """Stack per-shard host engines into mesh-sharded arrays (common padded
     capacity; padding slots tombstoned so they never surface in results)."""
     from lantern_tpu.graph.host_build import LMAX
-    from lantern_tpu.graph.device import _sq_norms_np
+    from lantern_tpu.graph.device import _sq_norms_np, upper_ids_from_slots
     from lantern_tpu.config import Metric
 
     metric = Metric(params.metric)
@@ -140,6 +140,7 @@ def _stack_engines(shards, gids, params: HnswParams, mesh: Mesh) -> ShardedIndex
     maxl_np = np.zeros((S,), np.int32)
     nn_np = np.zeros((S,), np.int32)
     gid_np = np.full((S, max_n + 1), -1, np.int32)
+    uid_np = np.full((S, max_u), -1, np.int32)
     for si, eng in enumerate(shards):
         ni = eng.n
         vec_np[si, :ni] = eng.vectors[:ni]
@@ -148,6 +149,7 @@ def _stack_engines(shards, gids, params: HnswParams, mesh: Mesh) -> ShardedIndex
         nu = max(eng.n_upper, 1)
         upn_np[si, :nu] = eng.upper_neighbors[:nu]
         slt_np[si, :ni] = eng.upper_slot[:ni]
+        uid_np[si] = upper_ids_from_slots(eng.upper_slot[:ni], max_u)
         lvl_np[si, :ni] = eng.levels[:ni]
         lab_np[si, :ni] = split_labels(eng.labels[:ni])
         del_np[si, :ni] = eng.deleted[:ni]
@@ -181,6 +183,7 @@ def _stack_engines(shards, gids, params: HnswParams, mesh: Mesh) -> ShardedIndex
         entry=put(entry_np),
         max_level=put(maxl_np),
         num_nodes=put(nn_np),
+        upper_ids=put(uid_np),
         m=params.m,
         dim=params.dim,
         metric=int(metric),
@@ -401,6 +404,11 @@ def build_sharded_device(
 
     lab_pairs = split_labels(lab_np.reshape(-1)).reshape(s, nmax, 2)
     deleted = gid_np[:, :nmax] < 0  # padding slots tombstoned
+    from lantern_tpu.graph.device import upper_ids_from_slots
+
+    uid_np = np.stack(
+        [upper_ids_from_slots(slot_np[si], ucap) for si in range(s)]
+    )
     graphs = DeviceGraph(
         vectors=st.vectors,
         sq_norms=st.sq_norms,
@@ -413,6 +421,7 @@ def build_sharded_device(
         entry=st.entry,
         max_level=st.max_level,
         num_nodes=put(np.array([len(pp) for pp in part], np.int32)),
+        upper_ids=put(uid_np),
         m=m,
         dim=dim,
         metric=int(metric),

@@ -86,11 +86,14 @@ def test_device_vs_host_same_graph_close(built_l2):
     d_dev, ids_dev, _ = search_batched(g, jnp.array(queries), k=5, ef=48)
     for qi, q in enumerate(queries):
         ids_host, d_host = h.search(q, k=5, ef=48)
-        # same graph, same ef: top-1 must match, sum of top-5 dists close
-        assert ids_dev[qi, 0] == ids_host[0]
-        assert np.allclose(
-            np.sort(np.asarray(d_dev[qi])), np.sort(d_host), rtol=1e-3, atol=1e-2
-        )
+        # same graph, same ef: the device search must be at least as good.
+        # (It can be strictly better: its entry point is the EXACT nearest
+        # upper-level node via a dense scan, while the host's greedy descent
+        # can land in a worse basin — observed on 1 of these 8 queries.)
+        dd = np.sort(np.asarray(d_dev[qi]))
+        dh = np.sort(np.asarray(d_host))
+        assert dd[0] <= dh[0] + 1e-3
+        assert float(dd.sum()) <= float(dh.sum()) + 1e-2
 
 
 def test_expand_multi(built_l2):
