@@ -71,6 +71,11 @@ def _graph_labels_np(ids, labels):
     return np.where(np.asarray(ids) >= 0, out, -1)
 
 
+def _stage(msg):
+    import sys
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def bench_config(n, dim, q, iters, host_build: bool):
     import dataclasses
 
@@ -103,8 +108,10 @@ def bench_config(n, dim, q, iters, host_build: bool):
         _ = int(jnp.sum(g.levels))  # scalar fetch = real completion barrier
         return g, time.perf_counter() - t0
 
+    _stage(f"n={n}: device build (cold)")
     g, cold_s = _timed_build()
     out["build_device_cold_s"] = round(cold_s, 1)
+    _stage(f"n={n}: device build (warm)")
     g, warm_s = _timed_build()
     out["build_device_s"] = round(warm_s, 2)
     out["build_device_inserts_per_s"] = round(n / max(warm_s, 1e-9), 1)
@@ -120,6 +127,7 @@ def bench_config(n, dim, q, iters, host_build: bool):
     # ---- exact ground truth (f32, exact top-k) for recall ----
     from lantern_tpu.flat import flat_search
 
+    _stage(f"n={n}: exact ground truth")
     nq_r = min(q, 256)
     _, true_ids = flat_search(
         base, jnp.sum(base * base, axis=1), queries[:nq_r], k=K, exact=True
@@ -131,6 +139,7 @@ def bench_config(n, dim, q, iters, host_build: bool):
         d, _, _ = flat_search_graph(graph, qb, k=K, recall_target=0.95)
         return d
 
+    _stage(f"n={n}: flat scan")
     out["flat"] = {}
     out["flat"]["qps"] = round(_timed_qps(flat_fn, g_search, q_batches, q, iters), 1)
     _, ids_f, labs_f = flat_search_graph(g_search, queries[:nq_r], k=K,
@@ -140,6 +149,7 @@ def bench_config(n, dim, q, iters, host_build: bool):
     # ---- flat ADC scan over PQ codes (memory-parity path, BASELINE #4) ----
     if os.environ.get("BENCH_SKIP_PQ") != "1":
         from lantern_tpu.flat import flat_search_pq
+        _stage(f"n={n}: pq train/encode/scan")
         from lantern_tpu.quant.pq import _encode_jit, _train_jit
 
         # stay device-resident end to end (host<->device transfers stall
@@ -168,6 +178,7 @@ def bench_config(n, dim, q, iters, host_build: bool):
     # ---- graph search: ef sweep, QPS + recall (device-built graph) ----
     out["graph"] = {}
     for ef in EF_SWEEP:
+        _stage(f"n={n}: graph search ef={ef}")
         def graph_fn(graph, qb, ef=ef):
             d, _, _ = search_batched(graph, qb, k=K, ef=ef, expand=expand)
             return d
@@ -183,19 +194,25 @@ def bench_config(n, dim, q, iters, host_build: bool):
         }
 
     # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
+    _stage(f"n={n}: cpu baseline")
     ix = NativeHnsw(params, capacity=n, seed=0)
     ix.import_graph(g)
     q_np = np.asarray(queries[:200])
-    t0 = time.perf_counter()
-    for i in range(len(q_np)):
-        ix.search(q_np[i], k=K, ef=64)
-    out["cpu_qps_ef64"] = round(len(q_np) / (time.perf_counter() - t0), 1)
+    best = float("inf")  # best-of-3: the jax runtime's background threads
+    # intermittently steal the single host core and depress the CPU number
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(len(q_np)):
+            ix.search(q_np[i], k=K, ef=64)
+        best = min(best, time.perf_counter() - t0)
+    out["cpu_qps_ef64"] = round(len(q_np) / best, 1)
     del ix
 
     # ---- builder-quality proof: sequential host build on the same data ----
     if host_build:
         from lantern_tpu.graph.device import to_device
 
+        _stage(f"n={n}: sequential host build")
         base_np = np.asarray(base)
         hb = NativeHnsw(params, capacity=n, seed=0)
         t0 = time.perf_counter()
@@ -234,15 +251,19 @@ def main():
     q = int(os.environ.get("BENCH_Q", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
+    # BENCH_ONLY=n100k|n1m runs one config (lets the full artifact be
+    # assembled from two runs when an execution window is capped)
+    only = os.environ.get("BENCH_ONLY")
     configs = {}
-    configs["n100k"] = bench_config(
-        100_000, dim, q, iters,
-        host_build=os.environ.get("BENCH_SKIP_HOST_BUILD") != "1",
-    )
-    if os.environ.get("BENCH_SKIP_1M") != "1":
+    if only in (None, "", "n100k"):
+        configs["n100k"] = bench_config(
+            100_000, dim, q, iters,
+            host_build=os.environ.get("BENCH_SKIP_HOST_BUILD") != "1",
+        )
+    if os.environ.get("BENCH_SKIP_1M") != "1" and only in (None, "", "n1m"):
         configs["n1m"] = bench_config(1_000_000, dim, q, iters, host_build=False)
 
-    head = configs.get("n1m", configs["n100k"])
+    head = configs["n1m"] if "n1m" in configs else configs["n100k"]
     flat_qps = head["flat"]["qps"]
     cpu = head["cpu_qps_ef64"]
     summary = {

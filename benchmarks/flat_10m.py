@@ -57,9 +57,12 @@ def main():
         return jax.lax.scan(body, jnp.float32(0), qbs)[0]
 
     _ = float(timed(base, sq, qbs))  # compile + warm
-    t0 = time.perf_counter()
-    _ = float(timed(base, sq, qbs + 1e-3))
-    qps = q * iters / (time.perf_counter() - t0)
+    best = float("inf")  # best-of-2: first post-compile run is 2-3x slow
+    for rep in range(2):
+        t0 = time.perf_counter()
+        _ = float(timed(base, sq, qbs + 1e-3 * (rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    qps = q * iters / best
 
     nq = 256
     _, true_ids = flat_search(base, sq, queries[:nq], k=10, exact=True,
