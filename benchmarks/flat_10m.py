@@ -40,7 +40,9 @@ def main():
     ]
     base = jnp.concatenate(slabs)
     del slabs
-    sq = jnp.sum(base.astype(jnp.float32) * base.astype(jnp.float32), axis=1)
+    # f32-accumulating einsum on the bf16 table: an astype(f32) square would
+    # materialize two 5.1 GB f32 copies and OOM the 16 GB chip
+    sq = jnp.einsum("nd,nd->n", base, base, preferred_element_type=jnp.float32)
     queries = jax.random.normal(jax.random.PRNGKey(77), (q, dim), jnp.float32)
     qbs = jnp.stack([
         jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
@@ -52,7 +54,7 @@ def main():
     def timed(vectors, sq, qbs):
         def body(acc, qb):
             d, _ = flat_search(vectors, sq, qb, k=10, recall_target=0.95,
-                               block=1 << 20)
+                               block=1 << 19)
             return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0)), None
         return jax.lax.scan(body, jnp.float32(0), qbs)[0]
 
@@ -66,9 +68,9 @@ def main():
 
     nq = 256
     _, true_ids = flat_search(base, sq, queries[:nq], k=10, exact=True,
-                              block=1 << 20)
+                              block=1 << 19)
     _, ids = flat_search(base, sq, queries[:nq], k=10, recall_target=0.95,
-                         block=1 << 20)
+                         block=1 << 19)
     true_ids, ids = np.asarray(true_ids), np.asarray(ids)
     rec = float(np.mean([
         len(set(a.tolist()) & set(b.tolist())) / 10

@@ -244,7 +244,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("start-bgworkers",
                        help="in-process daemon + indexing server")
     s.add_argument("--queue-dir", default=None)
-    s.add_argument("--indexing", action="store_true", default=True)
+    # BooleanOptionalAction: --indexing / --no-indexing (a bare store_true
+    # with default=True was impossible to switch off)
+    s.add_argument("--indexing", action=argparse.BooleanOptionalAction,
+                   default=True)
     s.add_argument("--indexing-port", type=int, default=8998)
     s.add_argument("--status-port", type=int, default=8999)
     s.set_defaults(fn=_cmd_start_bgworkers)

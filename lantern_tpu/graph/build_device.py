@@ -322,7 +322,13 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         from lantern_tpu.flat import flat_search
 
         not_built = jnp.arange(cap, dtype=jnp.int32) >= st.n
-        block = None if cap <= (1 << 17) else (1 << 17)
+        # hamming must keep flat_search's small default block (None ->
+        # min(n, 8192)): its XOR+popcount materializes a [B, block, W]
+        # intermediate, ~2 GB at block=1<<17, batch=1024, 128-bit vectors
+        block = (
+            None if (cap <= (1 << 17) or metric == Metric.HAMMING)
+            else (1 << 17)
+        )
         d_cand, cand = flat_search(
             st.vectors, st.sq_norms, qvecs, k=efc, metric=int(metric),
             exact=False, recall_target=0.95, block=block, deleted=not_built,

@@ -177,8 +177,10 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
     usearch_search_ef's descent). Batched lockstep greedy descent serializes
     ~100 while-loop steps (profiled 101 ms of a 260 ms batch at 1M, mostly
     loop overhead); the upper node set is only ~n/m nodes, so scoring ALL of
-    them with one MXU scan is faster AND yields the exact best upper entry
-    (greedy descent only finds a local minimum of the level-1 graph).
+    them with one MXU scan is faster AND yields the (near-)exact best upper
+    entry — approx top-k at recall_target 0.999; greedy descent only finds a
+    local minimum of the level-1 graph, so entries here are typically
+    better, and the level-0 beam absorbs the rare 0.1% miss.
 
     Requires graph.upper_ids (slot -> node id). Returns (entry_ids [Q],
     entry_d [Q]).
@@ -194,6 +196,7 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
         d, loc = flat_search_pq(
             graph.vectors[safe], graph.pq_codebook, queries,
             k=1, metric=graph.metric, deleted=excluded,
+            recall_target=0.999,
         )
     else:
         d, loc = flat_search(
@@ -206,6 +209,7 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
                 graph.vec_scales[safe] if graph.vec_scales is not None else None
             ),
             deleted=excluded,
+            recall_target=0.999,
         )
     found = loc[:, 0] >= 0
     entry_ids = jnp.where(
@@ -413,7 +417,10 @@ def search_batched(
     if with_stats:
         stats = {
             "iterations": iters_done,
-            "visited": visited_n,  # nodes whose distance was computed
+            # distance computations; re-scored beam-dropped nodes are rare
+            # double counts — clip so the unique-visited invariant
+            # (visited <= n) the validator asserts still holds
+            "visited": jnp.minimum(visited_n, graph.num_nodes),
             "expanded": jnp.sum(
                 jnp.logical_and(expanded, beam_ids >= 0), axis=1
             ).astype(jnp.int32),

@@ -141,11 +141,19 @@ class Index:
         return self
 
     def _grow(self, need: int):
-        """Rebuild-free capacity growth: snapshot arrays into a larger engine."""
+        """Rebuild-free capacity growth (usearch_reserve doubling)."""
         import tempfile
 
-        from lantern_tpu.native import NativeHnsw  # noqa: F401
+        from lantern_tpu.native import NativeHnsw
 
+        new_cap0 = max(8, self._eng._cap)
+        while new_cap0 < need:
+            new_cap0 *= 2
+        if isinstance(self._eng, NativeHnsw):
+            # in-place realloc in the engine — no disk round trip
+            self._eng.grow(new_cap0)
+            return
+        # python engine: snapshot arrays into a larger engine
         with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
             path = tf.name
         try:

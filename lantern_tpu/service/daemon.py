@@ -256,6 +256,19 @@ class Daemon:
                 self._stop.wait(self.poll_s)
 
     def start(self):
+        # Reclaim watch jobs orphaned by a previous daemon's stop/crash:
+        # their threads are daemon threads, so a 'running' continuous job in
+        # the queue has no live worker — requeue it (the analog of the
+        # reference's bgworker restart resuming client jobs,
+        # daemon/client_embedding_jobs.rs:84-139).
+        for job in self.queue.list():
+            if (
+                job["status"] == "running"
+                and job["kind"] == "embedding"
+                and job["spec"].get("watch")
+            ):
+                self.queue.update(job["id"], status="queued")
+                self.log.info(f"watch job {job['id']} requeued after restart")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self

@@ -262,6 +262,21 @@ class InsertLog:
             # adopt the existing generation and count its valid records so
             # the next snapshot records a correct LSN
             _, _, self.generation, self.count = self._scan(path, width, self.dtype)
+            # truncate any torn tail record BEFORE appending: records written
+            # after torn bytes would be unreachable on the next replay
+            # (_scan stops at the first bad record), silently dropping
+            # fsync-acknowledged inserts
+            with open(path, "rb") as hf:
+                version = struct.unpack("<II", hf.read(8))[1]
+            hdr_len = 16 if version >= 2 else 8
+            valid_end = hdr_len + self.count * (
+                struct.calcsize(_LOG_REC_HDR) + self._payload
+            )
+            if os.path.getsize(path) > valid_end:
+                with open(path, "r+b") as tf:
+                    tf.truncate(valid_end)
+                    tf.flush()
+                    os.fsync(tf.fileno())
             self._f = open(path, "ab")
         else:
             self.generation = self._new_generation()

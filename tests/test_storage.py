@@ -119,12 +119,24 @@ def test_insert_log_roundtrip_and_torn_tail(tmp_path):
         f.write(b"\x01\x02\x03")
     v, lab = InsertLog.replay(path, 4)
     assert len(v) == 3  # tail discarded, prefix intact
+    # REOPENING after a torn tail must truncate it first: records
+    # appended after torn bytes would be unreachable on the next replay
+    # (scan stops at the first bad record)
+    log2 = InsertLog(path, width=4)
+    assert log2.count == 3
+    log2.append(np.full((1, 4), 9.0, np.float32), np.array([13], np.uint64))
+    log2.close()
+    v, lab = InsertLog.replay(path, 4)
+    assert len(v) == 4 and lab[-1] == 13
+    with open(path, "ab") as f:
+        f.write(b"\x01\x02\x03")  # re-tear for the crc case below
     # corrupt the last record's payload: crc must reject it
     raw = bytearray(open(path, "rb").read())
+    raw = raw[:-3]  # drop the tear, corrupt the real last record
     raw[-5] ^= 0xFF
-    open(path, "wb").write(raw)
+    open(path, "wb").write(bytes(raw))
     v, lab = InsertLog.replay(path, 4)
-    assert len(v) == 2
+    assert len(v) == 3
 
 
 def test_index_facade_end_to_end(tmp_path):
