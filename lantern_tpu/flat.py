@@ -345,6 +345,59 @@ def flat_search_pq(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "shortlist", "metric", "recall_target")
+)
+def flat_search_pq_rerank(
+    codes: jax.Array,        # [N, S] uint8 PQ codes
+    centroids: jax.Array,    # [S, K, dsub] f32 codebook
+    vectors: jax.Array,      # [N, d] full-precision rows (rerank source)
+    sq_norms: jax.Array,     # [N] f32
+    queries: jax.Array,      # [Q, d] f32
+    k: int = 10,
+    shortlist: int = 100,
+    metric: int = int(Metric.L2SQ),
+    recall_target: float = 0.95,
+    deleted: jax.Array | None = None,
+):
+    """Two-stage PQ search: ADC scan shortlist -> exact rerank on full rows.
+
+    The standard production recipe for quantized indexes: the coarse PQ scan
+    retrieves ``shortlist`` candidates per query at code-bytes HBM cost, and
+    the true metric re-scores only Q x shortlist gathered rows. recall@k
+    becomes the PQ scan's recall@shortlist (e.g. 0.28 -> 0.9+ at 960d).
+    The rerank source can be the same HBM table (bf16), or in HBM-overflow
+    deployments the raw rows fetched by the host — the reference keeps raw
+    vectors in the heap table alongside its PQ index (pqvec/pq columns), so
+    full-precision rows always exist.
+    """
+    metric_e = Metric(metric)
+    q = queries.shape[0]
+    _, ids = flat_search_pq(
+        codes, centroids, queries, k=shortlist, metric=metric,
+        recall_target=recall_target, deleted=deleted,
+    )
+    safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
+    rows = vectors[safe].astype(jnp.float32)      # [Q, L, d]
+    qf = queries.astype(jnp.float32)
+    dots = jnp.einsum("qd,qld->ql", qf, rows, preferred_element_type=jnp.float32)
+    x_sq = sq_norms[safe]
+    if metric_e == Metric.L2SQ:
+        d = jnp.sum(qf * qf, axis=1)[:, None] - 2.0 * dots + x_sq
+    else:
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=1))[:, None]
+        d = 1.0 - dots / jnp.maximum(qn * jnp.sqrt(x_sq), 1e-30)
+    d = jnp.where(ids >= 0, d, jnp.inf)
+    neg, arg = jax.lax.top_k(-d, min(k, d.shape[1]))
+    out_d = -neg
+    out_i = jnp.take_along_axis(ids, arg, axis=1)
+    return _pad_k(
+        jnp.where(jnp.isfinite(out_d), out_d, jnp.inf),
+        jnp.where(jnp.isfinite(out_d), out_i, -1),
+        k,
+    )
+
+
 def _pad_k(d, ids, k_out: int):
     """Pad result columns out to k_out (dist +inf, id -1)."""
     q, k = d.shape

@@ -124,11 +124,11 @@ def _pq_decode_kernel(codes_ref, cb_ref, exp_ref, colc_ref, out_ref):
     matrix (measured 7 ms/1M faster than jnp.repeat's lane relayout) and
     the compare runs in f32 against a precomputed per-column code id.
     """
-    c = codes_ref[:].astype(jnp.bfloat16)      # [TB, S]; codes < 256 exact
+    c = codes_ref[0].astype(jnp.bfloat16)      # [TB, G]; codes < 256 exact
     rep = jnp.dot(c, exp_ref[:], preferred_element_type=jnp.float32)
     oh = (rep == colc_ref[:]).astype(jnp.bfloat16)
-    out_ref[:] = jnp.dot(
-        oh, cb_ref[:], preferred_element_type=jnp.float32
+    out_ref[0] = jnp.dot(
+        oh, cb_ref[0], preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
@@ -148,36 +148,68 @@ def pq_decode_mxu(
     tile: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Decode PQ codes to bf16 vectors [N, dim] with a Pallas MXU kernel."""
+    """Decode PQ codes to bf16 vectors [N, dim] with a Pallas MXU kernel.
+
+    Large codebooks (e.g. 960d, S=240: block-diagonal [61440, 960] = 118 MB)
+    cannot live in VMEM whole, so the grid also tiles the SUBSPACE axis into
+    groups of G subspaces: group g's one-hot only touches its own
+    [G*K, G*dsub] diagonal block. G is the smallest divisor of S whose
+    output width G*dsub fills an MXU tile (>=128 lanes); the row tile
+    shrinks if the per-step footprint would exceed VMEM.
+    """
     n, s = codes.shape
     sk, dim = cb_flat.shape
     kc = sk // s
+    dsub = dim // s
     if kc > 256:
         raise ValueError("pq_decode_mxu: codes must be 8-bit (K <= 256)")
+    # decode FLOPs per row = S*K*roundup128(G*dsub): the MXU pads each
+    # group's output to 128 lanes, so the cheapest G is the LARGEST divisor
+    # of S with G*dsub <= 128 (output exactly one lane tile, minimal VMEM)
+    cands = [g for g in range(1, s + 1) if s % g == 0 and g * dsub <= 128]
+    grp = max(cands) if cands else 1
     tile = min(tile, max(16, n))
+    gk = grp * kc
+    gd = grp * dsub
+    # per-step VMEM: one-hot bf16 + rep f32 (6 B per [tile, gk] element) +
+    # the group's codebook block
+    while tile > 32 and tile * gk * 6 + gk * gd * 2 > 15 * 2**20:
+        tile //= 2
+    ng = s // grp
     npad = -(-n // tile) * tile
     codes_i = jnp.pad(codes.astype(jnp.int32), ((0, npad - n), (0, 0)))
+    # group-major 3-D layouts: Mosaic constrains only the LAST TWO block
+    # dims (divisible by (8, 128) or equal to the array dims), so the group
+    # axis leads and each block spans a full [tile, grp]/[tile, gd] slab
+    codes_g = codes_i.reshape(npad, ng, grp).transpose(1, 0, 2)
+    # group g's diagonal block of the block-diagonal codebook
+    cbg = jnp.stack([
+        jax.lax.slice(cb_flat, (g * gk, g * gd), ((g + 1) * gk, (g + 1) * gd))
+        for g in range(ng)
+    ])
     # expander spreads codes to their subspace's K columns on the MXU;
     # colc holds each flat column's centroid id for the equality test.
     # Built from iota compares (a scatter here would serialize on TPU and,
     # sitting inside the caller's jit, re-run on every query batch).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, sk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, sk), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (grp, gk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (grp, gk), 1)
     exp = (cols // kc == rows).astype(jnp.bfloat16)
     colc = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1) % kc
+        jax.lax.broadcasted_iota(jnp.int32, (1, gk), 1) % kc
     ).astype(jnp.float32)
     out = pl.pallas_call(
         _pq_decode_kernel,
-        out_shape=jax.ShapeDtypeStruct((npad, dim), jnp.bfloat16),
-        grid=(npad // tile,),
+        out_shape=jax.ShapeDtypeStruct((ng, npad, gd), jnp.bfloat16),
+        # group-major order: the codebook block stays VMEM-resident across
+        # the inner row sweep
+        grid=(ng, npad // tile),
         in_specs=[
-            pl.BlockSpec((tile, s), lambda i: (i, 0)),
-            pl.BlockSpec((sk, dim), lambda i: (0, 0)),
-            pl.BlockSpec((s, sk), lambda i: (0, 0)),
-            pl.BlockSpec((1, sk), lambda i: (0, 0)),
+            pl.BlockSpec((1, tile, grp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, gk, gd), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((grp, gk), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, gk), lambda g, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, tile, gd), lambda g, i: (g, i, 0)),
         interpret=interpret,
-    )(codes_i, cb_flat, exp, colc)
-    return out[:n]
+    )(codes_g, cbg, exp, colc)
+    return out.transpose(1, 0, 2).reshape(npad, dim)[:n]

@@ -164,3 +164,36 @@ def test_flat_pq_deleted_and_index_dispatch(rng):
     ix.delete(np.arange(6))
     d2, labels2 = ix.search(base[:6], k=5, mode="flat")
     assert not np.isin(labels2, np.arange(6)).any()
+
+
+def test_flat_pq_rerank_recovers_recall(rng):
+    """PQ shortlist + exact rerank: recall@k ~= exact within the shortlist."""
+    from lantern_tpu.flat import flat_search_pq, flat_search_pq_rerank
+    from lantern_tpu.quant.pq import pq_encode, train_codebook
+
+    base = rng.standard_normal((1500, 64)).astype(np.float32)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    cb = train_codebook(base, num_subvectors=16, num_centroids=32, iters=8)
+    codes = pq_encode(base, cb)
+    sq = np.einsum("nd,nd->n", base, base).astype(np.float32)
+    od, oids = exact_search(q, base, k=10)
+    _, raw_ids = flat_search_pq(jnp.asarray(codes), jnp.asarray(cb.centroids),
+                                jnp.asarray(q), k=10)
+    d, ids = flat_search_pq_rerank(
+        jnp.asarray(codes), jnp.asarray(cb.centroids), jnp.asarray(base),
+        jnp.asarray(sq), jnp.asarray(q), k=10, shortlist=100,
+    )
+
+    def rec(found):
+        found = np.asarray(found)
+        return np.mean([len(set(a[a >= 0].tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(found, np.asarray(oids))])
+
+    assert rec(ids) >= rec(raw_ids)  # rerank never hurts
+    assert rec(ids) >= 0.8
+    # reranked distances are TRUE metric distances of the returned ids
+    ids0 = np.asarray(ids)[0]
+    base0 = base[ids0[ids0 >= 0]]
+    expect = ((base0 - q[0]) ** 2).sum(1)
+    np.testing.assert_allclose(np.asarray(d)[0][: len(expect)], expect,
+                               rtol=1e-2, atol=1e-2)
