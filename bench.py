@@ -123,6 +123,16 @@ def bench_config(n, dim, q, iters, host_build: bool):
         jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
         for i in range(iters)
     ])
+    # every loop DISPATCH through the remote-execute tunnel costs a fixed
+    # ~40 ms (measured: 1M flat scan per-batch time 6.5 -> 2.7 -> 2.1 ms at
+    # 8/32/64 iters, asymptote 1.46 ms = within 10% of the matmul roofline).
+    # The fast paths need long scans to report device throughput rather
+    # than tunnel RTT; the graph path at >= 30 ms/batch amortizes already.
+    iters_flat = int(os.environ.get("BENCH_FLAT_ITERS", 64))
+    q_batches_flat = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
+        for i in range(iters_flat)
+    ])
 
     # ---- exact ground truth (f32, exact top-k) for recall ----
     from lantern_tpu.flat import flat_search
@@ -141,7 +151,9 @@ def bench_config(n, dim, q, iters, host_build: bool):
 
     _stage(f"n={n}: flat scan")
     out["flat"] = {}
-    out["flat"]["qps"] = round(_timed_qps(flat_fn, g_search, q_batches, q, iters), 1)
+    out["flat"]["qps"] = round(
+        _timed_qps(flat_fn, g_search, q_batches_flat, q, iters_flat), 1
+    )
     _, ids_f, labs_f = flat_search_graph(g_search, queries[:nq_r], k=K,
                                          recall_target=0.95)
     out["flat"]["recall"] = round(_recall(_graph_labels_np(ids_f, labs_f), true_np), 4)
@@ -164,7 +176,9 @@ def bench_config(n, dim, q, iters, host_build: bool):
             return d
 
         out["flat_pq"] = {
-            "qps": round(_timed_qps(pq_fn, (codes, cents), q_batches, q, iters), 1),
+            "qps": round(
+                _timed_qps(pq_fn, (codes, cents), q_batches_flat, q, iters_flat), 1
+            ),
             "code_bytes_per_vector": 32,
         }
         _, ids_pq = flat_search_pq(codes, cents, queries[:nq_r], k=K,

@@ -32,7 +32,8 @@ def main():
         pass
     from lantern_tpu.flat import flat_search
 
-    n, dim, q, iters = 10_000_000, 128, 1024, 10
+    # 32 in-jit iterations amortize the fixed ~40 ms tunnel dispatch cost
+    n, dim, q, iters = 10_000_000, 128, 1024, 32
     # generate in slabs (one 10M normal() would hold 2 copies transiently)
     slabs = [
         jax.random.normal(jax.random.PRNGKey(i), (n // 10, dim), jnp.bfloat16)

@@ -45,7 +45,9 @@ def main():
                                   flat_search_pq_rerank)
     from lantern_tpu.quant.pq import _encode_jit, _train_jit
 
-    n, dim, q, iters = 500_000, 960, 256, 8
+    # 64 in-jit iterations: each loop dispatch through the tunnel costs a
+    # fixed ~40 ms, so short scans report RTT, not device throughput
+    n, dim, q, iters = 500_000, 960, 256, 64
     # clustered data: 1024 centers, per-point jitter (device-generated)
     key = jax.random.PRNGKey(0)
     centers = jax.random.normal(key, (1024, dim), jnp.float32)

@@ -41,9 +41,15 @@ def _timed_qps(graph, q_batches, k, ef, expand):
         return acc
 
     float(run(graph, q_batches))  # compile+warm
-    t0 = time.perf_counter()
-    float(run(graph, q_batches + jnp.float32(1e-3) if q_batches.dtype != jnp.uint32 else q_batches))
-    dt = time.perf_counter() - t0
+    # best-of-2: the first post-compile execution through the tunnel is
+    # often 2-3x slower than steady state (CLAUDE.md)
+    dt = float("inf")
+    for rep in range(2):
+        qb = (q_batches + jnp.float32(1e-3) * (rep + 1)
+              if q_batches.dtype != jnp.uint32 else q_batches)
+        t0 = time.perf_counter()
+        float(run(graph, qb))
+        dt = min(dt, time.perf_counter() - t0)
     return q_batches.shape[0] * q_batches.shape[1] / dt
 
 
@@ -102,8 +108,11 @@ def main():
         base = jax.random.normal(jax.random.PRNGKey(0), (n, dim), jnp.float32)
         queries = jax.random.normal(jax.random.PRNGKey(7), (qn, dim), jnp.float32)
 
+    # >=12 in-jit iterations: each loop dispatch through the tunnel costs a
+    # fixed ~40 ms; short scans would report RTT, not device throughput
+    ITERS = 12
     q_batches = jnp.stack([
-        queries * (1.0 + 1e-4 * i) for i in range(5)
+        queries * (1.0 + 1e-4 * i) for i in range(ITERS)
     ])
     rq = queries[:256]
 
@@ -139,7 +148,7 @@ def main():
     g = build_on_device(bn, pc, batch=1024, seed=0)
     gs = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
     _, tids = exact_search(qn_v[:256], g.vectors, k=k, metric=Metric.COS)
-    qb_cos = jnp.stack([qn_v * (1.0 + 1e-4 * i) for i in range(5)])
+    qb_cos = jnp.stack([qn_v * (1.0 + 1e-4 * i) for i in range(ITERS)])
     results["configs"]["cosine"] = {
         "sweep": ef_sweep(gs, tids, "cos", qb_cos, rq_override=qn_v[:256])
     }
@@ -159,7 +168,11 @@ def main():
     gh = to_device(ixh)
     qpk = jnp.asarray(np.asarray(pack_bits(queries)))
     td, tih = hamming_exact_topk(qpk[:256], jnp.asarray(packed), k=k)
-    qb_h = jnp.stack([qpk for _ in range(5)])
+    # vary the batch per iteration: a loop-invariant body gets hoisted by
+    # XLA and the reading becomes one-execution/N (CLAUDE.md trap)
+    qb_h = jnp.stack([
+        jnp.bitwise_xor(qpk, jnp.uint32(i)) for i in range(ITERS)
+    ])
     results["configs"]["hamming"] = {
         "n": nh,
         "sweep": ef_sweep(gh, tih, "hamming", qb_h, rq_override=qpk[:256]),
