@@ -189,6 +189,35 @@ def bench_config(n, dim, q, iters, host_build: bool):
             for a, b in zip(ids_pq, true_np)
         ])), 4)
 
+        # two-stage PQ: ADC shortlist + exact rerank on the bf16 rows (the
+        # reference keeps raw vectors in the heap beside its PQ index, so a
+        # full-precision rerank source always exists)
+        from lantern_tpu.flat import flat_search_pq_rerank
+        _stage(f"n={n}: pq rerank scan")
+        sqn = jnp.sum(base * base, axis=1)
+
+        def pqr_fn(arrs, qb):
+            cd, ct, vec, sn = arrs
+            d, _ = flat_search_pq_rerank(cd, ct, vec, sn, qb, k=K,
+                                         shortlist=100, recall_target=0.95)
+            return d
+
+        # rerank rows must be index-aligned with the codes (both encode
+        # `base` row i), so use the base table itself, bf16
+        base_bf = base.astype(jnp.bfloat16)
+        arrs = (codes, cents, base_bf, sqn)
+        out["flat_pq_rerank100"] = {
+            "qps": round(_timed_qps(pqr_fn, arrs, q_batches_flat, q, iters_flat), 1),
+        }
+        _, ids_pr = flat_search_pq_rerank(codes, cents, base_bf,
+                                          sqn, queries[:nq_r], k=K,
+                                          shortlist=100, recall_target=0.95)
+        ids_pr = np.asarray(ids_pr)
+        out["flat_pq_rerank100"]["recall"] = round(float(np.mean([
+            len(set(a[a >= 0].tolist()) & set(b.tolist())) / K
+            for a, b in zip(ids_pr, true_np)
+        ])), 4)
+
     # ---- graph search: ef sweep, QPS + recall (device-built graph) ----
     out["graph"] = {}
     for ef in EF_SWEEP:

@@ -49,6 +49,12 @@ class Index:
         self._graph = None  # cached device mirror
         self._label_sort = None  # cached sorted-label lookup (see rows_for_labels)
         self._codebook = None  # PQCodebook when params.pq
+        # host-side raw rows (row-aligned with engine slots) enabling PQ
+        # rerank — the analog of the reference's heap table, which keeps
+        # full-precision vectors beside the PQ index (quantize_table adds a
+        # _pq column; the original column remains). Captured on add() for
+        # PQ indexes; after load_snapshot, re-supply via set_rerank_source.
+        self._rerank_rows = None
         self._log = None
         if log_path:
             self._log = InsertLog(log_path, self._eng.vectors.shape[1],
@@ -107,6 +113,7 @@ class Index:
         result into the engine — the facade analog of the reference's
         external build, where a faster builder streams the finished index
         back into the store (build.c:523-552, external_index.c:240)."""
+        raw = np.asarray(vectors, np.float32) if self.params.pq else None
         vectors = self._preprocess(vectors)
         if labels is None:
             labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
@@ -137,7 +144,24 @@ class Index:
             self._eng.add(vectors, labels=labels, **kw)
         if self._log is not None:
             self._log.append(np.asarray(vectors, self._eng.vectors.dtype), labels)
+        if raw is not None:
+            self._rerank_rows = raw if self._rerank_rows is None else (
+                np.concatenate([self._rerank_rows, raw])
+            )
         self._graph = None
+        return self
+
+    def set_rerank_source(self, rows: np.ndarray):
+        """Supply full-precision rows (row-aligned with engine slots) for
+        PQ rerank — needed after load_snapshot, where only codes persist
+        (the reference's raw rows live in the heap table, outside the
+        index file)."""
+        rows = np.asarray(rows, np.float32)
+        if len(rows) != self.size:
+            raise ValueError(
+                f"rerank source has {len(rows)} rows, index has {self.size}"
+            )
+        self._rerank_rows = rows
         return self
 
     def _grow(self, need: int):
@@ -201,6 +225,7 @@ class Index:
         params: SearchParams | None = None,
         mode: str = "auto",
         recall_target: float = 0.95,
+        rerank: int | None = None,
     ):
         """Batched device search -> (dists [Q,k] f32, labels [Q,k] u64).
 
@@ -209,6 +234,11 @@ class Index:
         ``mode``: 'flat' = dense MXU scan (the TPU fast path — see flat.py),
         'graph' = batched HNSW beam search, 'auto' = cost-model dispatch
         (the planner's seq-scan-vs-index choice, hnsw.c:150-209 analog).
+
+        ``rerank``: PQ indexes only — retrieve a shortlist of this size by
+        ADC scan, then exactly re-score it on the host against the
+        full-precision rows (captured at add() or via set_rerank_source).
+        Recovers full-precision recall at code-bytes HBM cost.
         """
         if params is not None:
             k, ef = params.k, params.ef
@@ -225,6 +255,8 @@ class Index:
         q = jnp.asarray(queries)
         graph = self.device_graph
         n = self._eng.n  # host-side count (device fetches ride a slow tunnel)
+        if rerank is not None:
+            return self._search_rerank(q, k, rerank, recall_target)
         if mode == "auto":
             from lantern_tpu.costmodel import choose_search_strategy
 
@@ -246,6 +278,48 @@ class Index:
         else:
             raise ValueError(f"unknown search mode {mode!r}")
         return np.asarray(d), join_labels(np.asarray(labels))
+
+    def _search_rerank(self, q, k: int, shortlist: int, recall_target: float):
+        """ADC-shortlist flat scan + exact host rerank (see search)."""
+        if not self.params.pq:
+            raise ValueError("rerank= applies to PQ indexes only")
+        rows = self._rerank_rows
+        if rows is None:
+            raise ValueError(
+                "no rerank source: rows are captured by add(), or supply "
+                "them after load via set_rerank_source()"
+            )
+        from lantern_tpu.flat import flat_search_graph
+
+        _, ids, labels = flat_search_graph(
+            self.device_graph, q, k=max(shortlist, k),
+            recall_target=recall_target,
+        )
+        ids = np.asarray(ids)
+        labs = join_labels(np.asarray(labels))
+        qf = np.asarray(q, np.float32)
+        cand = rows[np.clip(ids, 0, len(rows) - 1)]       # [Q, L, d]
+        metric = Metric(self.params.metric)
+        if metric == Metric.L2SQ:
+            dd = ((cand - qf[:, None, :]) ** 2).sum(-1)
+        elif metric == Metric.COS:
+            num = np.einsum("qld,qd->ql", cand, qf)
+            den = np.linalg.norm(cand, axis=-1) * np.maximum(
+                np.linalg.norm(qf, axis=-1)[:, None], 1e-30
+            )
+            dd = 1.0 - num / np.maximum(den, 1e-30)
+        else:
+            raise ValueError("rerank supports l2sq/cos")
+        dd = np.where(ids >= 0, dd, np.inf)
+        sel = np.argsort(dd, axis=1)[:, :k]
+        out_d = np.take_along_axis(dd, sel, axis=1).astype(np.float32)
+        out_l = np.take_along_axis(labs, sel, axis=1)
+        out_l = np.where(np.isfinite(out_d), out_l, 0)
+        pad = k - out_d.shape[1]
+        if pad > 0:
+            out_d = np.pad(out_d, ((0, 0), (0, pad)), constant_values=np.inf)
+            out_l = np.pad(out_l, ((0, 0), (0, pad)))
+        return out_d, out_l
 
     def search_streaming(self, query: np.ndarray, ef: int | None = None,
                          init_k: int = 10):
@@ -338,6 +412,7 @@ class Index:
         ix._graph = None
         ix._label_sort = None
         ix._codebook = None
+        ix._rerank_rows = None  # raw rows don't persist; set_rerank_source
         if cb is not None:
             from lantern_tpu.quant.pq import PQCodebook
 

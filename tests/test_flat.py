@@ -166,6 +166,47 @@ def test_flat_pq_deleted_and_index_dispatch(rng):
     assert not np.isin(labels2, np.arange(6)).any()
 
 
+def test_index_pq_rerank_facade(rng):
+    """Index.search(rerank=L): ADC shortlist + exact host rerank."""
+    from lantern_tpu import HnswParams, Index
+
+    base = rng.standard_normal((1200, 64)).astype(np.float32)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    ix = Index(HnswParams(dim=64, m=8, ef_construction=32, pq=True,
+                          num_subvectors=16, num_centroids=32),
+               capacity=1200)
+    ix.add(base)
+    _, oids = exact_search(q, base, k=10)
+    d_raw, l_raw = ix.search(q, k=10, mode="flat")
+    d_rr, l_rr = ix.search(q, k=10, rerank=100)
+
+    def rec(found):
+        return np.mean([len(set(int(x) for x in a) & set(b.tolist())) / 10
+                        for a, b in zip(np.asarray(found), np.asarray(oids))])
+
+    assert rec(l_rr) >= rec(l_raw)
+    assert rec(l_rr) >= 0.8
+    # reranked distances are true l2sq of the returned labels (labels are
+    # row ids here)
+    r0 = np.asarray(l_rr)[0].astype(np.int64)
+    expect = ((base[r0] - q[0]) ** 2).sum(1)
+    np.testing.assert_allclose(d_rr[0], expect, rtol=1e-4, atol=1e-4)
+    # deleted rows never come back reranked
+    ix.delete(np.arange(20))
+    _, l2 = ix.search(q, k=10, rerank=100)
+    assert not np.isin(np.asarray(l2), np.arange(20)).any()
+    # a loaded snapshot has no raw rows until set_rerank_source
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".ldb") as tf:
+        ix.save(tf.name)
+        ix2 = Index.load(tf.name)
+        with pytest.raises(ValueError, match="rerank source"):
+            ix2.search(q, k=10, rerank=50)
+        ix2.set_rerank_source(base)
+        _, l3 = ix2.search(q, k=10, rerank=100)
+        assert rec(l3) >= 0.8
+
+
 def test_flat_pq_rerank_recovers_recall(rng):
     """PQ shortlist + exact rerank: recall@k ~= exact within the shortlist."""
     from lantern_tpu.flat import flat_search_pq, flat_search_pq_rerank
