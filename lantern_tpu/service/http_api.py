@@ -192,7 +192,11 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 return self._err(400, "search needs 'vector' or 'text'")
-            d, labels = col.index.search(q, k=k, ef=int(ef) if ef else None)
+            rerank = b.get("rerank")  # PQ collections: ADC shortlist size
+            d, labels = col.index.search(
+                q, k=k, ef=int(ef) if ef else None,
+                rerank=int(rerank) if rerank else None,
+            )
             out = []
             for dist, lab in zip(d[0], labels[0]):
                 if not np.isfinite(dist):

@@ -399,6 +399,32 @@ def test_local_vision_runtime(tmp_path):
     assert e.shape == (3, 16) and np.isfinite(e).all()
 
 
+def test_http_pq_requantize_and_rerank(api, rng):
+    """POST /pq rebuilds the collection as a PQ index (the reference's pq
+    route quantizes the table, http_server/pq.rs); /search then runs ADC
+    over codes, and "rerank" re-scores the shortlist on raw rows."""
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "pqcol", "metric": "l2sq"})
+    vecs = rng.standard_normal((400, 32)).astype(np.float32)
+    rows = [{"vector": v.tolist(), "i": i} for i, v in enumerate(vecs)]
+    code, _ = _req("POST", base + "/collections/pqcol/rows", {"rows": rows})
+    assert code == 200
+    code, res = _req("POST", base + "/collections/pqcol/pq",
+                     {"num_subvectors": 8, "num_centroids": 32}, timeout=300)
+    assert code == 200 and res["requantized"] == 400
+    assert res["codebook"] == [8, 32, 4]
+    code, res = _req("POST", base + "/collections/pqcol/search",
+                     {"vector": vecs[7].tolist(), "k": 3}, timeout=120)
+    assert code == 200 and len(res["results"]) == 3
+    code, res = _req("POST", base + "/collections/pqcol/search",
+                     {"vector": vecs[7].tolist(), "k": 3, "rerank": 50},
+                     timeout=120)
+    assert code == 200
+    # exact rerank must surface the true nearest row first
+    assert res["results"][0]["i"] == 7
+    assert res["results"][0]["distance"] < 1e-3
+
+
 def test_http_external_index_rebuild(api, rng):
     """POST /index with external=true rebuilds via the device builder
     (the CREATE INDEX WITH (external=true) analog, index.rs:51-84)."""
