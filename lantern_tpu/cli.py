@@ -34,7 +34,8 @@ def _cmd_start_indexing_server(args):
         ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ssl_ctx.load_cert_chain(args.cert, args.key)
     srv = IndexServer(host=args.host, port=args.port,
-                      status_port=args.status_port, ssl_context=ssl_ctx)
+                      status_port=args.status_port, ssl_context=ssl_ctx,
+                      build=args.build)
 
     async def main():
         await srv.start()
@@ -208,6 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8998)
     s.add_argument("--status-port", type=int, default=8999)
     s.add_argument("--cert"), s.add_argument("--key")
+    s.add_argument("--build", choices=("host", "device"), default="host",
+                   help="device = bulk-build streamed tuples on the TPU at "
+                        "END (10-20x the multicore host engine)")
     s.set_defaults(fn=_cmd_start_indexing_server)
 
     s = sub.add_parser("start-router")

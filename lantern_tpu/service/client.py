@@ -19,14 +19,20 @@ from lantern_tpu.service import protocol as proto
 from lantern_tpu.utils.failpoints import failure_point
 
 DEFAULT_TIMEOUT = 10.0  # the reference's 10 s read/write timeouts
+# the final build reply can lag far behind END when the server bulk-builds
+# on the accelerator after the stream (IndexServer build='device') —
+# analogous to the reference's 10-minute router-provisioning wait
+# (external_index_socket.c:411-447)
+DEFAULT_REPLY_TIMEOUT = 900.0
 
 
 class ExternalIndexClient:
     def __init__(self, host: str, port: int, timeout: float = DEFAULT_TIMEOUT,
-                 ssl_context=None):
+                 ssl_context=None, reply_timeout: float = DEFAULT_REPLY_TIMEOUT):
         self.host = host
         self.port = port
         self.timeout = timeout
+        self.reply_timeout = reply_timeout
         self.ssl_context = ssl_context
         self._sock: socket.socket | None = None
 
@@ -132,6 +138,7 @@ class ExternalIndexClient:
                 pass
             raise ConnectionError(f"server closed connection mid-stream: {e}")
 
+        sock.settimeout(self.reply_timeout)  # device bulk build runs now
         head = self._recv_exact(sock, 8)
         self._check_error_frame(head, sock)
         (count,) = struct.unpack("<Q", head)

@@ -62,6 +62,7 @@ class IndexServer:
         logger: Logger | None = None,
         add_batch: int = 2000,  # the reference's mpsc bound (server.rs:311)
         nthreads: int = 0,
+        build: str = "host",
     ):
         self.host = host
         self.port = port
@@ -70,6 +71,12 @@ class IndexServer:
         self.log = logger or Logger("indexing-server")
         self.add_batch = add_batch
         self.nthreads = nthreads
+        # build="device": buffer the stream and bulk-build the graph on the
+        # accelerator at END (10-20x the multicore host engine) — the role
+        # the reference's all-cores usearch build plays on the indexing
+        # machine (server.rs:133-153). Falls back to the host engine for
+        # b1/hamming streams (device bulk build serves l2sq/cos).
+        self.build = build
         self.status = ServerStatus()
         self._server = None
         self._status_server = None
@@ -182,6 +189,15 @@ class IndexServer:
         lab_buf: list[int] = []
         count = 0
         loop = asyncio.get_running_loop()
+        from lantern_tpu.config import Metric
+
+        device_build = self.build == "device" and init.metric_kind in (
+            int(Metric.L2SQ), int(Metric.COS),
+        ) and init.element_bits != 1
+        if self.build == "device" and not device_build:
+            self.log.info("device build unsupported for this stream; host engine")
+        dev_vecs: list[np.ndarray] = []  # whole stream, device-build mode
+        dev_labs: list[int] = []
 
         async def flush():
             nonlocal vec_buf, lab_buf
@@ -212,6 +228,11 @@ class IndexServer:
             (label,) = struct.unpack("<Q", head + rest[:4])
             vec = np.frombuffer(rest[4:], dtype)
             failure_point("_handle_inner", "on_tuple")
+            if device_build:
+                dev_vecs.append(vec)
+                dev_labs.append(label)
+                count += 1
+                continue
             if count >= capacity:
                 # the stream exceeded estimated_capacity: double, like the
                 # reference server (server.rs:243-247 under RwLock write).
@@ -226,6 +247,27 @@ class IndexServer:
             if len(vec_buf) >= self.add_batch:
                 await flush()
         await flush()
+        if device_build and dev_vecs:
+            vecs = np.stack(dev_vecs)
+            labs = np.array(dev_labs, np.uint64)
+            if pq_cb is not None:
+                from lantern_tpu.quant.pq import pq_decode, pq_encode
+
+                vecs = pq_decode(pq_encode(vecs, pq_cb), pq_cb)
+
+            def _bulk_build():
+                from lantern_tpu.graph.build_device import build_on_device
+
+                g = build_on_device(
+                    np.asarray(vecs, np.float32), params, batch=1024, seed=0,
+                    labels=labs,
+                )
+                e = NativeHnsw(params, capacity=max(len(vecs), 8), seed=0)
+                e.import_graph(g, labels=labs)
+                return e
+
+            self.log.info(f"device bulk build of {count} tuples")
+            eng = await loop.run_in_executor(None, _bulk_build)
 
         self.log.info(f"indexed {count} tuples; serializing")
         failure_point("_handle_inner", "before_reply")

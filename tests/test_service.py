@@ -76,6 +76,21 @@ def test_external_build_roundtrip(rng):
         assert status["status"] == ServerStatus.SUCCEEDED
 
 
+def test_external_build_device_mode(rng):
+    """IndexServer(build='device') bulk-builds the streamed tuples on the
+    accelerator at END — the server-side analog of the reference putting
+    all cores of the indexing machine on the build (server.rs:133-153)."""
+    base = rng.standard_normal((400, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    srv = IndexServer(port=0, status_port=0, build="device")
+    with _ServerThread(srv):
+        ix = build_via_server(base, p, "127.0.0.1", srv.port)
+        assert ix.size == 400
+        d, labels = ix.search(base[:4], k=3, ef=48)
+        assert (labels[:, 0] == np.arange(4)).all()
+        ix.validate().raise_if_failed()
+
+
 def test_router_redirect(rng):
     base = rng.standard_normal((100, 8)).astype(np.float32)
     p = HnswParams(dim=8, m=4, ef_construction=16)
