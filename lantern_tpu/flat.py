@@ -372,7 +372,6 @@ def flat_search_pq_rerank(
     full-precision rows always exist.
     """
     metric_e = Metric(metric)
-    q = queries.shape[0]
     _, ids = flat_search_pq(
         codes, centroids, queries, k=shortlist, metric=metric,
         recall_target=recall_target, deleted=deleted,
@@ -388,9 +387,13 @@ def flat_search_pq_rerank(
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=1))[:, None]
         d = 1.0 - dots / jnp.maximum(qn * jnp.sqrt(x_sq), 1e-30)
     d = jnp.where(ids >= 0, d, jnp.inf)
-    neg, arg = jax.lax.top_k(-d, min(k, d.shape[1]))
-    out_d = -neg
-    out_i = jnp.take_along_axis(ids, arg, axis=1)
+    # multi-operand sort carries ids with the keys — top_k +
+    # take_along_axis on [Q, ~100] lowers to serialized element gathers
+    # (~170 us; CLAUDE.md measurement facts)
+    kk = min(k, d.shape[1])
+    s_d, s_i = jax.lax.sort((d, ids), dimension=1, num_keys=1, is_stable=False)
+    out_d = s_d[:, :kk]
+    out_i = s_i[:, :kk]
     return _pad_k(
         jnp.where(jnp.isfinite(out_d), out_d, jnp.inf),
         jnp.where(jnp.isfinite(out_d), out_i, -1),

@@ -33,6 +33,7 @@ class Index:
         seed: int = 0,
         engine: str = "native",
         log_path: str | None = None,
+        keep_raw: bool = True,
     ):
         self.params = params
         self._engine_kind = engine
@@ -53,8 +54,12 @@ class Index:
         # rerank — the analog of the reference's heap table, which keeps
         # full-precision vectors beside the PQ index (quantize_table adds a
         # _pq column; the original column remains). Captured on add() for
-        # PQ indexes; after load_snapshot, re-supply via set_rerank_source.
-        self._rerank_rows = None
+        # PQ indexes unless keep_raw=False (host-RAM cost is n*dim*4 B);
+        # after load_snapshot, re-supply via set_rerank_source. Chunked so
+        # streaming ingest appends O(1), concatenated lazily at search.
+        self._keep_raw = keep_raw
+        self._rerank_chunks: list[np.ndarray] = []
+        self._rerank_rows = None  # cached concatenation of the chunks
         self._log = None
         if log_path:
             self._log = InsertLog(log_path, self._eng.vectors.shape[1],
@@ -113,7 +118,10 @@ class Index:
         result into the engine — the facade analog of the reference's
         external build, where a faster builder streams the finished index
         back into the store (build.c:523-552, external_index.c:240)."""
-        raw = np.asarray(vectors, np.float32) if self.params.pq else None
+        raw = (
+            np.asarray(vectors, np.float32)
+            if self.params.pq and self._keep_raw else None
+        )
         vectors = self._preprocess(vectors)
         if labels is None:
             labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
@@ -145,9 +153,8 @@ class Index:
         if self._log is not None:
             self._log.append(np.asarray(vectors, self._eng.vectors.dtype), labels)
         if raw is not None:
-            self._rerank_rows = raw if self._rerank_rows is None else (
-                np.concatenate([self._rerank_rows, raw])
-            )
+            self._rerank_chunks.append(raw)
+            self._rerank_rows = None  # invalidate the cached concat
         self._graph = None
         return self
 
@@ -161,8 +168,20 @@ class Index:
             raise ValueError(
                 f"rerank source has {len(rows)} rows, index has {self.size}"
             )
+        self._rerank_chunks = [rows]
         self._rerank_rows = rows
         return self
+
+    @property
+    def _raw_rows(self) -> np.ndarray | None:
+        """Concatenated rerank source (cached; chunks append O(1))."""
+        if self._rerank_rows is None and self._rerank_chunks:
+            self._rerank_rows = (
+                self._rerank_chunks[0] if len(self._rerank_chunks) == 1
+                else np.concatenate(self._rerank_chunks)
+            )
+            self._rerank_chunks = [self._rerank_rows]
+        return self._rerank_rows
 
     def _grow(self, need: int):
         """Rebuild-free capacity growth (usearch_reserve doubling)."""
@@ -283,7 +302,7 @@ class Index:
         """ADC-shortlist flat scan + exact host rerank (see search)."""
         if not self.params.pq:
             raise ValueError("rerank= applies to PQ indexes only")
-        rows = self._rerank_rows
+        rows = self._raw_rows
         if rows is None:
             raise ValueError(
                 "no rerank source: rows are captured by add(), or supply "
@@ -412,7 +431,10 @@ class Index:
         ix._graph = None
         ix._label_sort = None
         ix._codebook = None
-        ix._rerank_rows = None  # raw rows don't persist; set_rerank_source
+        # raw rows don't persist in the snapshot; set_rerank_source re-arms
+        ix._keep_raw = True
+        ix._rerank_chunks = []
+        ix._rerank_rows = None
         if cb is not None:
             from lantern_tpu.quant.pq import PQCodebook
 

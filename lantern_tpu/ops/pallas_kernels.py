@@ -153,9 +153,10 @@ def pq_decode_mxu(
     Large codebooks (e.g. 960d, S=240: block-diagonal [61440, 960] = 118 MB)
     cannot live in VMEM whole, so the grid also tiles the SUBSPACE axis into
     groups of G subspaces: group g's one-hot only touches its own
-    [G*K, G*dsub] diagonal block. G is the smallest divisor of S whose
-    output width G*dsub fills an MXU tile (>=128 lanes); the row tile
-    shrinks if the per-step footprint would exceed VMEM.
+    [G*K, G*dsub] diagonal block. G is the LARGEST divisor of S with
+    G*dsub <= 128 (output exactly one MXU lane tile — minimum padded
+    decode FLOPs); the row tile shrinks if the per-step footprint would
+    exceed VMEM.
     """
     n, s = codes.shape
     sk, dim = cb_flat.shape

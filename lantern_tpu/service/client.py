@@ -19,16 +19,18 @@ from lantern_tpu.service import protocol as proto
 from lantern_tpu.utils.failpoints import failure_point
 
 DEFAULT_TIMEOUT = 10.0  # the reference's 10 s read/write timeouts
-# the final build reply can lag far behind END when the server bulk-builds
-# on the accelerator after the stream (IndexServer build='device') —
-# analogous to the reference's 10-minute router-provisioning wait
-# (external_index_socket.c:411-447)
-DEFAULT_REPLY_TIMEOUT = 900.0
 
 
 class ExternalIndexClient:
     def __init__(self, host: str, port: int, timeout: float = DEFAULT_TIMEOUT,
-                 ssl_context=None, reply_timeout: float = DEFAULT_REPLY_TIMEOUT):
+                 ssl_context=None, reply_timeout: float | None = None):
+        """``reply_timeout``: opt-in longer wait for the final build reply,
+        for servers that bulk-build on the accelerator AFTER the stream
+        ends (IndexServer build='device'; cold jit compiles can take
+        minutes) — analogous to the reference's 10-minute
+        router-provisioning wait (external_index_socket.c:411-447).
+        Default None keeps the reference's 10 s timeout on every read, so
+        a dead host-mode server still fails fast."""
         self.host = host
         self.port = port
         self.timeout = timeout
@@ -138,7 +140,8 @@ class ExternalIndexClient:
                 pass
             raise ConnectionError(f"server closed connection mid-stream: {e}")
 
-        sock.settimeout(self.reply_timeout)  # device bulk build runs now
+        if self.reply_timeout is not None:
+            sock.settimeout(self.reply_timeout)  # device bulk build runs now
         head = self._recv_exact(sock, 8)
         self._check_error_frame(head, sock)
         (count,) = struct.unpack("<Q", head)
@@ -158,15 +161,22 @@ def build_via_server(
     labels: np.ndarray | None = None,
     codebook=None,
     timeout: float = DEFAULT_TIMEOUT,
+    reply_timeout: float | None = 900.0,
 ):
-    """Build remotely and return a loaded Index (CREATE INDEX external=true)."""
+    """Build remotely and return a loaded Index (CREATE INDEX external=true).
+
+    ``reply_timeout`` defaults generous here because this convenience entry
+    is what drives device-mode servers in tests/CLI; pass None for the
+    strict reference 10 s behavior.
+    """
     import os
     import tempfile
 
     from lantern_tpu.index import Index
 
     cb = codebook.centroids if hasattr(codebook, "centroids") else codebook
-    client = ExternalIndexClient(host, port, timeout=timeout)
+    client = ExternalIndexClient(host, port, timeout=timeout,
+                                 reply_timeout=reply_timeout)
     data = client.build(vectors, params, labels=labels, codebook=cb)
     with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
         tf.write(data)

@@ -175,8 +175,17 @@ class IndexServer:
             codebook = np.stack(rows) if rows else None
         codebook = _reshape_codebook(codebook, init)
 
+        from lantern_tpu.config import Metric
+
+        device_build = self.build == "device" and init.metric_kind in (
+            int(Metric.L2SQ), int(Metric.COS),
+        ) and init.element_bits != 1
+        if self.build == "device" and not device_build:
+            self.log.info("device build unsupported for this stream; host engine")
         capacity = max(init.estimated_capacity, 8)
-        eng = NativeHnsw(params, capacity=capacity, seed=0)
+        # device mode buffers the stream and builds at END — don't
+        # preallocate a full-capacity host engine that would never be used
+        eng = None if device_build else NativeHnsw(params, capacity=capacity, seed=0)
         pq_cb = None
         if codebook is not None:
             from lantern_tpu.quant.pq import PQCodebook
@@ -189,13 +198,6 @@ class IndexServer:
         lab_buf: list[int] = []
         count = 0
         loop = asyncio.get_running_loop()
-        from lantern_tpu.config import Metric
-
-        device_build = self.build == "device" and init.metric_kind in (
-            int(Metric.L2SQ), int(Metric.COS),
-        ) and init.element_bits != 1
-        if self.build == "device" and not device_build:
-            self.log.info("device build unsupported for this stream; host engine")
         dev_vecs: list[np.ndarray] = []  # whole stream, device-build mode
         dev_labs: list[int] = []
 
@@ -249,6 +251,7 @@ class IndexServer:
         await flush()
         if device_build and dev_vecs:
             vecs = np.stack(dev_vecs)
+            dev_vecs.clear()  # drop the chunk list before building (peak RAM)
             labs = np.array(dev_labs, np.uint64)
             if pq_cb is not None:
                 from lantern_tpu.quant.pq import pq_decode, pq_encode
@@ -268,6 +271,8 @@ class IndexServer:
 
             self.log.info(f"device bulk build of {count} tuples")
             eng = await loop.run_in_executor(None, _bulk_build)
+        elif eng is None:  # device mode, empty stream
+            eng = NativeHnsw(params, capacity=8, seed=0)
 
         self.log.info(f"indexed {count} tuples; serializing")
         failure_point("_handle_inner", "before_reply")

@@ -71,6 +71,25 @@ def test_pq_decode_mxu_matches_gather(rng):
     np.testing.assert_allclose(dec, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_pq_decode_mxu_grouped(rng):
+    """Multi-group path (ng > 1): subspace-group tiling of big codebooks.
+
+    s=24, dsub=40 -> grp=3 (largest divisor with grp*dsub <= 128), ng=8:
+    exercises the group-major reshape, per-group codebook slicing, and the
+    output re-interleave that the 960-d configs rely on."""
+    from lantern_tpu.ops.pallas_kernels import codebook_blockdiag, pq_decode_mxu
+
+    s, kc, dsub = 24, 16, 40
+    cents = rng.standard_normal((s, kc, dsub)).astype(np.float32)
+    codes = rng.integers(0, kc, (130, s)).astype(np.uint8)
+    cb_flat = codebook_blockdiag(jnp.asarray(cents))
+    dec = np.asarray(
+        pq_decode_mxu(jnp.asarray(codes), cb_flat, tile=64, interpret=True)
+    ).astype(np.float32)
+    ref = np.concatenate([cents[i, codes[:, i]] for i in range(s)], axis=1)
+    np.testing.assert_allclose(dec, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_upper_ids_inverts_slots(rng):
     from lantern_tpu.graph.device import upper_ids_from_slots
 
