@@ -251,6 +251,23 @@ def bench_config(n, dim, q, iters, host_build: bool):
     out["cpu_qps_ef64"] = round(len(q_np) / best, 1)
     del ix
 
+    # equal-recall comparator for the 0.98-recall flat scan: a CPU exact
+    # scan (the only CPU config that matches its recall class). The HNSW
+    # number above is the reference-system-at-its-best comparator. Exact
+    # scan is linear in n, so time a <=200k slice (a full 1M host fetch
+    # can stall the tunnel) and scale.
+    nsub = min(n, 200_000)
+    base_np_sc = np.asarray(base[:nsub])
+    q_sc = np.asarray(queries[:4])
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        dots = q_sc @ base_np_sc.T  # [4, nsub]
+        _ = np.argpartition(-dots, K, axis=1)[:, :K]
+        best = min(best, time.perf_counter() - t0)
+    out["cpu_exact_scan_qps"] = round(len(q_sc) / best * nsub / n, 1)
+    del base_np_sc
+
     # ---- builder-quality proof: sequential host build on the same data ----
     if host_build:
         from lantern_tpu.graph.device import to_device

@@ -296,9 +296,10 @@ def build_sharded_device(
     from lantern_tpu.graph.host_build import LMAX
 
     metric = Metric(params.metric)
-    if metric == Metric.HAMMING:
-        raise NotImplementedError("device build supports l2sq/cos")
-    vectors = np.ascontiguousarray(vectors, np.float32)
+    # hamming builds over packed u32 words (dim = words, distances via
+    # XOR+popcount in _insert_round — build_device.py:93-104)
+    np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
+    vectors = np.ascontiguousarray(vectors, np_dtype)
     n, dim = vectors.shape
     s = mesh.shape["shard"]
     if n < s:
@@ -315,7 +316,7 @@ def build_sharded_device(
     rng = np.random.default_rng(seed)
     lvl_np = np.zeros((s, nmax), np.int32)
     slot_np = np.full((s, nmax), -1, np.int32)
-    vec_np = np.zeros((s, nmax, dim), np.float32)
+    vec_np = np.zeros((s, nmax, dim), np_dtype)
     gid_np = np.full((s, nmax + 1), -1, np.int32)
     lab_np = np.zeros((s, nmax), np.uint64)
     n_upper_max = 1
@@ -353,7 +354,10 @@ def build_sharded_device(
     def put(x, spec=P("shard")):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
-    sq = np.einsum("snd,snd->sn", vec_np, vec_np).astype(np.float32)
+    if metric == Metric.HAMMING:
+        sq = np.zeros((s, nmax), np.float32)  # unused by hamming distances
+    else:
+        sq = np.einsum("snd,snd->sn", vec_np, vec_np).astype(np.float32)
     from lantern_tpu.graph.build_device import ramped_batches
 
     first = next(ramped_batches(nmax, batch))[1]

@@ -109,6 +109,36 @@ def test_build_sharded_device_parallel():
     np.testing.assert_array_equal(np.asarray(g2)[:, 0], np.arange(8))
 
 
+def test_build_sharded_device_hamming():
+    """Sharded device build over packed-bit vectors (hamming metric) —
+    closes the metric matrix for the parallel build path."""
+    import jax.numpy as jnp
+
+    from lantern_tpu.config import Metric, QuantKind
+    from lantern_tpu.ops import pack_bits
+    from lantern_tpu.parallel import build_sharded_device
+
+    rng = np.random.default_rng(41)
+    raw = rng.standard_normal((1600, 64)).astype(np.float32)
+    packed = np.asarray(pack_bits(raw))  # [n, 2] u32 words
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=64, m=8, ef_construction=48, metric=Metric.HAMMING,
+                   quant=QuantKind.B1)
+    ix = build_sharded_device(packed, p, mesh, batch=128, seed=0)
+    q = packed[:16]
+    d, gids, _ = search_sharded(ix, jnp.asarray(q), k=10, ef=48)
+    # numpy exact-hamming oracle
+    hd = np.bitwise_count(
+        np.bitwise_xor(q[:, None, :], packed[None, :, :])
+    ).sum(-1)
+    true_ids = np.argsort(hd, axis=1, kind="stable")[:, :10]
+    rec = _recall(np.asarray(gids), true_ids)
+    assert rec >= 0.8, f"sharded hamming recall {rec}"
+    # self queries at distance 0
+    assert (np.asarray(gids)[:, 0] == np.arange(16)).all()
+    assert (np.asarray(d)[:, 0] == 0).all()
+
+
 def test_sharded_save_load_roundtrip(sharded_ix, tmp_path):
     """Per-shard snapshots + manifest: identical search results after reload
     (the external fleet's save/stream path, server.rs:377-434 analog)."""
