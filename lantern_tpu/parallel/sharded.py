@@ -385,16 +385,33 @@ def build_sharded_device(
     )
     level_tuple_dev = tuple(put(a) for a in level_arrays)
 
+    # Explicit SPMD via shard_map: each device runs its own insert round
+    # over its shard slice — the program contains ZERO collectives by
+    # construction. Leaving this to jit+vmap lets the SPMD partitioner
+    # re-shard heavy intermediates over the OTHER mesh axes and insert
+    # all-gather/all-reduce pairs; on the virtual CPU mesh the in-process
+    # rendezvous for those deadlocks intermittently (40 s hard abort).
+    from jax import shard_map
+
+    round_core = jax.vmap(
+        functools.partial(_insert_round, efc=params.ef_construction, max_in=max_in),
+        in_axes=(0, 0, 0),
+    )
+    st_spec = jax.tree_util.tree_map(lambda _: P("shard"), st)
+    lvl_spec = tuple(P("shard") for _ in level_tuple_dev)
     round_fn = jax.jit(
-        jax.vmap(
-            functools.partial(_insert_round, efc=params.ef_construction, max_in=max_in),
-            in_axes=(0, 0, 0),
+        shard_map(
+            round_core, mesh=mesh,
+            in_specs=(st_spec, P("shard"), lvl_spec),
+            out_specs=st_spec,
+            check_vma=False,
         ),
         donate_argnums=(0,),
     )
 
     from lantern_tpu.graph.build_device import ramped_batches
 
+    prev_size = None
     for pos, live, size in ramped_batches(nmax, batch):
         end = pos + live
         ids = np.full((s, size), -1, np.int32)
@@ -402,6 +419,14 @@ def build_sharded_device(
             hi = min(end, len(part[si]))
             if hi > pos:
                 ids[si, : hi - pos] = np.arange(pos, hi, dtype=np.int32)
+        if size != prev_size and prev_size is not None:
+            # a new batch shape means round_fn recompiles on the host
+            # thread; on a single-core host (virtual CPU mesh) a long
+            # compile starves the PREVIOUS round's in-flight collective
+            # rendezvous past XLA's 40 s hard deadline (process abort).
+            # Drain execution before tracing the new shape.
+            jax.block_until_ready(st.n)
+        prev_size = size
         st = round_fn(st, put(ids), level_tuple_dev)
 
     from lantern_tpu.graph.device import split_labels
