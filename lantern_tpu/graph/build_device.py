@@ -84,6 +84,25 @@ def _graph_view(st: BuildState) -> DeviceGraph:
     )
 
 
+def _gather_view(vectors):
+    """bf16 copy of the vector table for the build's candidate gathers.
+
+    The insert round is gather-bound, not FLOP-bound (profiled at 1M/v5e:
+    the [L, c2, d] candidate row gathers are the top op at 15-18 ms of a
+    ~70 ms round, upper-pool gathers another ~12 ms). Row gathers are
+    mostly row-LATENCY-bound, so halving row bytes trims the top gather
+    ~16% (18.3 -> 15.3 ms) — the bigger wins are feeding the MXU's native
+    bf16 path and halving the matmul operand bytes. Distances during
+    construction shift by ~0.4% relative (bf16 rounding); neighbor
+    selection is rank-based and 1M recall is unchanged at ef 64/128
+    (measured). Kept f32 on CPU (bf16 there is emulated — the
+    virtual-mesh test suite would slow ~10x) and for u32 hamming words /
+    i8 codes (cast is useless resp. byte-doubling)."""
+    if vectors.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        return vectors.astype(jnp.bfloat16)
+    return vectors
+
+
 def _sq_of(vecs, metric: Metric):
     """Squared norms recomputed from gathered rows. Scalar gathers of a
     precomputed sq_norms array lower to serialized element loads on TPU
@@ -109,12 +128,11 @@ def _pair_dists(vecs_a, sq_a, vecs_b, sq_b, metric: Metric):
             vecs_b[:, None, :, :].astype(jnp.uint32),
         )
         return jnp.sum(_popcount_u32(x), axis=-1).astype(jnp.float32)
-    dots = jnp.einsum(
-        "bcd,bed->bce",
-        vecs_a.astype(jnp.float32),
-        vecs_b.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    # bf16 inputs hit the MXU's native bf16xbf16->f32 path; upcasting them
+    # first would force the (2x slower) f32 MXU path
+    a = vecs_a if vecs_a.dtype == jnp.bfloat16 else vecs_a.astype(jnp.float32)
+    b = vecs_b if vecs_b.dtype == jnp.bfloat16 else vecs_b.astype(jnp.float32)
+    dots = jnp.einsum("bcd,bed->bce", a, b, preferred_element_type=jnp.float32)
     if metric == Metric.L2SQ:
         return sq_a[:, :, None] - 2.0 * dots + sq_b[:, None, :]
     na = jnp.sqrt(sq_a)[:, :, None]
@@ -172,8 +190,7 @@ def _scatter_reverse(
     dummy_row: int,
     targets,            # [E] target node ids (-1 = skip)
     sources,            # [E] new node ids
-    all_vectors,
-    all_sq,
+    all_vectors,        # gather view ([cap, d], bf16 on TPU — _gather_view)
     metric: Metric,
     maxdeg: int,
     max_in: int,
@@ -288,7 +305,9 @@ def _scatter_reverse(
 
 
 def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
-                  max_in: int, flat_cand: bool = False):
+                  max_in: int, flat_cand: bool = False,
+                  gv: jax.Array | None = None,
+                  level_vecs: tuple | None = None):
     """Insert a batch of node ids (-1 = padding lane) into the graph.
 
     ``level_ids``: per-level static id lists (level_ids[l-1] = all node ids
@@ -305,6 +324,10 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     efc nearest built nodes — a strictly better pool than beam search's —
     so this changes the constructed graph (for the better; recall parity is
     asserted in tests either way).
+
+    ``gv``/``level_vecs``: the bf16 gather view and the hoisted per-level
+    (vectors, sq) gathers — supplied by insert_rounds so they live OUTSIDE
+    the scan carry (loop-invariant; recomputed here when called standalone).
     """
     metric = Metric(st.metric)
     b = ids.shape[0]
@@ -314,7 +337,9 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     ucap = st.upper_neighbors.shape[0]
     active = ids >= 0
     safe_ids = jnp.where(active, ids, 0)
-    qvecs = st.vectors[safe_ids]
+    if gv is None:
+        gv = _gather_view(st.vectors)
+    qvecs = gv[safe_ids]
     qsq = _sq_of(qvecs, metric)
 
     if flat_cand:
@@ -330,14 +355,16 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
             else (1 << 17)
         )
         d_cand, cand = flat_search(
-            st.vectors, st.sq_norms, qvecs, k=efc, metric=int(metric),
+            gv, st.sq_norms, qvecs.astype(st.vectors.dtype), k=efc,
+            metric=int(metric),
             exact=False, recall_target=0.95, block=block, deleted=not_built,
         )
     else:
         # 1) candidate search of current graph (expand=4: fewer, wider
         # frontier iterations — same pool quality, ~4x fewer serial steps)
         d_cand, cand, _ = search_batched(
-            _graph_view(st), qvecs, k=efc, ef=efc, expand=4
+            _graph_view(st), qvecs.astype(st.vectors.dtype), k=efc, ef=efc,
+            expand=4
         )
 
     # 2) within-batch candidates (exact); mask self and padding lanes
@@ -357,9 +384,12 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         [jnp.where(cand >= 0, d_cand, _INF), jnp.where(wb_ids >= 0, wb_d, _INF)],
         axis=1,
     )
-    order = jnp.argsort(pool_d, axis=1)
-    pool_d = jnp.take_along_axis(pool_d, order, axis=1)
-    pool_ids = jnp.take_along_axis(pool_ids, order, axis=1)
+    # one multi-operand sort, ids as tiebreak key so duplicate ids are
+    # guaranteed adjacent for the dedup below (argsort + take_along_axis
+    # lowers to serialized element gathers — ~5 ms/round at 1M)
+    pool_d, pool_ids = jax.lax.sort(
+        (pool_d, pool_ids), dimension=1, num_keys=2, is_stable=False
+    )
     dup = jnp.concatenate(
         [jnp.zeros((b, 1), bool), pool_ids[:, 1:] == pool_ids[:, :-1]], axis=1
     )
@@ -369,7 +399,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     pool_d = jnp.where(pool_valid, pool_d, _INF)
 
     pool_c = jnp.where(pool_valid, pool_ids, 0)
-    pvecs = st.vectors[pool_c]  # [B, C, d]
+    pvecs = gv[pool_c]  # [B, C, d]
     psq = _sq_of(pvecs, metric)
     pair = _pair_dists(pvecs, psq, pvecs, psq, metric)  # [B, C, C]
 
@@ -389,8 +419,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         cap,
         jnp.where(active[:, None], fwd0, -1).reshape(-1),
         jnp.repeat(safe_ids, m),
-        st.vectors,
-        st.sq_norms,
+        gv,
         metric,
         m0,
         max_in,
@@ -407,13 +436,19 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
     for lvl in range(1, len(level_ids) + 1):
         node_has = new_levels >= lvl
         lids = level_ids[lvl - 1]  # [Ll] -1 padded
-        lvecs = st.vectors[jnp.maximum(lids, 0)]
-        lsq = _sq_of(lvecs, metric)
+        if level_vecs is not None:
+            lvecs, lsq = level_vecs[lvl - 1]
+        else:
+            lvecs = gv[jnp.maximum(lids, 0)]
+            lsq = _sq_of(lvecs, metric)
         d_up = _pair_dists(qvecs[None], qsq[None], lvecs[None], lsq[None], metric)[0]
         usable = (lids >= 0) & (lids < n0)  # inserted, not self (self not < n0)
         d_up = jnp.where(usable[None, :], d_up, _INF)
         kk = min(2 * m, lids.shape[0])
-        neg_u, uj = jax.lax.top_k(-d_up, kk)
+        # approx_max_k = the TPU PartialReduce lowering (exact fallback on
+        # CPU); exact top_k over the [B, 32k] level-1 pool was 6.9 ms/round
+        # and upper layers are navigation aids — 0.95 recall is plenty
+        neg_u, uj = jax.lax.approx_max_k(-d_up, kk, recall_target=0.95)
         up_d = -neg_u
         up_ids = jnp.where(jnp.isfinite(up_d), lids[uj], -1)
         # merge with within-batch members of this level
@@ -424,9 +459,9 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
             [jnp.where(up_ids >= 0, up_d, _INF), jnp.where(wb_ids_l >= 0, wb_d, _INF)],
             axis=1,
         )
-        uo = jnp.argsort(pu_d, axis=1)
-        pu_d = jnp.take_along_axis(pu_d, uo, axis=1)
-        pu_ids = jnp.take_along_axis(pu_ids, uo, axis=1)
+        pu_d, pu_ids = jax.lax.sort(
+            (pu_d, pu_ids), dimension=1, num_keys=2, is_stable=False
+        )
         udup = jnp.concatenate(
             [jnp.zeros((b, 1), bool), pu_ids[:, 1:] == pu_ids[:, :-1]], axis=1
         )
@@ -434,7 +469,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         pu_ok &= pu_ids != safe_ids[:, None]
         pu_d = jnp.where(pu_ok, pu_d, _INF)
         pu_c = jnp.where(pu_ok, pu_ids, 0)
-        puv = st.vectors[pu_c]
+        puv = gv[pu_c]
         pusq = _sq_of(puv, metric)
         upair = _pair_dists(puv, pusq, puv, pusq, metric)
         sel = select_heuristic_batch(pu_d, upair, pu_ok, m)
@@ -450,8 +485,7 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
             dummy_flat,
             jnp.where(node_has[:, None], fwd, -1).reshape(-1),
             jnp.repeat(safe_ids, m),
-            st.vectors,
-            st.sq_norms,
+            gv,
             metric,
             m,
             max_in,
@@ -481,14 +515,6 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
 @functools.partial(
     jax.jit, static_argnames=("efc", "max_in", "flat_cand"), donate_argnums=(0,)
 )
-def insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
-                 max_in: int, flat_cand: bool = False) -> BuildState:
-    return _insert_round(st, ids, level_ids, efc, max_in, flat_cand)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("efc", "max_in", "flat_cand"), donate_argnums=(0,)
-)
 def insert_rounds(st: BuildState, ids2d: jax.Array, level_ids: tuple,
                   efc: int, max_in: int,
                   flat_cand: bool = False) -> BuildState:
@@ -499,13 +525,39 @@ def insert_rounds(st: BuildState, ids2d: jax.Array, level_ids: tuple,
     grouping consecutive equal-size rounds into one scanned program bounds
     the dispatch count (compile count: one per (size, group-length) pair).
     On local hardware the grouping is neutral.
+
+    The carry holds ONLY the arrays a round mutates; everything
+    loop-invariant (vectors, the bf16 gather view, per-level vector
+    gathers, sq_norms, levels, slots) enters as a closure constant so it
+    is computed/gathered once per dispatch, not once per round (the
+    upper-pool gathers alone profiled ~12 ms/round at 1M).
     """
+    gv = _gather_view(st.vectors)
+    metric = Metric(st.metric)
+    level_vecs = tuple(
+        (lambda v: (v, _sq_of(v, metric)))(gv[jnp.maximum(lids, 0)])
+        for lids in level_ids
+    )
 
-    def body(carry, ids):
-        return _insert_round(carry, ids, level_ids, efc, max_in, flat_cand), None
+    def body(mut, ids):
+        neighbors0, upper, entry, max_level, nn = mut
+        full = st.replace(
+            neighbors0=neighbors0, upper_neighbors=upper,
+            entry=entry, max_level=max_level, n=nn,
+        )
+        out = _insert_round(full, ids, level_ids, efc, max_in, flat_cand,
+                            gv=gv, level_vecs=level_vecs)
+        return (out.neighbors0, out.upper_neighbors, out.entry,
+                out.max_level, out.n), None
 
-    st, _ = jax.lax.scan(body, st, ids2d)
-    return st
+    mut0 = (st.neighbors0, st.upper_neighbors, st.entry, st.max_level, st.n)
+    (neighbors0, upper, entry, max_level, nn), _ = jax.lax.scan(
+        body, mut0, ids2d
+    )
+    return st.replace(
+        neighbors0=neighbors0, upper_neighbors=upper,
+        entry=entry, max_level=max_level, n=nn,
+    )
 
 
 def ramped_batches(n: int, batch: int, min_batch: int = 32):
@@ -675,15 +727,21 @@ def device_insert(
         level_id_arrays.append(jnp.asarray(padded))
     level_tuple = tuple(level_id_arrays)
 
+    # group consecutive rounds into one scanned dispatch (insert_rounds):
+    # each dispatch through the remote-execute tunnel costs a fixed ~40 ms,
+    # which would dominate small incremental inserts
+    rounds = []
     pos = n0
     while pos < need:
         end = min(pos + batch, need)
         ids = np.full(batch, -1, np.int32)
         ids[: end - pos] = np.arange(pos, end, dtype=np.int32)
-        st = insert_round(st, jnp.asarray(ids), level_tuple,
-                          efc=ef_construction, max_in=max_in,
-                          flat_cand=candidates == "flat")
+        rounds.append(ids)
         pos = end
+    for i in range(0, len(rounds), ROUND_GROUP):
+        st = insert_rounds(st, jnp.asarray(np.stack(rounds[i : i + ROUND_GROUP])),
+                           level_tuple, efc=ef_construction, max_in=max_in,
+                           flat_cand=candidates == "flat")
 
     from lantern_tpu.graph.device import split_labels
 
