@@ -276,6 +276,7 @@ def build_sharded_device(
     seed: int = 0,
     labels: np.ndarray | None = None,
     max_in: int | None = None,
+    candidates: str = "flat",
 ) -> ShardedIndex:
     """Build all shard subgraphs IN PARALLEL on the mesh's devices.
 
@@ -286,7 +287,14 @@ def build_sharded_device(
     round concurrently — S devices build S subgraphs in the wall-clock of
     one. No cross-device traffic during build (subgraphs are independent);
     search later pays one top-k merge collective (search_sharded).
+
+    ``candidates``: "flat" (default) scans each shard's built prefix with
+    one masked dense MXU matmul for the candidate pools (the single-chip
+    builder's fast path — shard-local, still zero collectives); "beam"
+    keeps batched HNSW traversal of the partial subgraph.
     """
+    if candidates not in ("flat", "beam"):
+        raise ValueError(f"candidates={candidates!r}; expected flat|beam")
     import functools
 
     import jax.numpy as jnp
@@ -394,24 +402,41 @@ def build_sharded_device(
     from jax import shard_map
 
     round_core = jax.vmap(
-        functools.partial(_insert_round, efc=params.ef_construction, max_in=max_in),
+        functools.partial(_insert_round, efc=params.ef_construction,
+                          max_in=max_in, flat_cand=candidates == "flat"),
         in_axes=(0, 0, 0),
     )
+
+    def grouped_core(st_stack, ids3d, lvls):
+        # R rounds as one lax.scan -> one dispatch per group (fixed
+        # per-dispatch cost; same grouping as build_on_device)
+        def body(stk, ids2d):
+            return round_core(stk, ids2d, lvls), None
+
+        stk, _ = jax.lax.scan(body, st_stack, ids3d)
+        return stk
+
     st_spec = jax.tree_util.tree_map(lambda _: P("shard"), st)
     lvl_spec = tuple(P("shard") for _ in level_tuple_dev)
-    round_fn = jax.jit(
+    rounds_fn = jax.jit(
         shard_map(
-            round_core, mesh=mesh,
-            in_specs=(st_spec, P("shard"), lvl_spec),
+            grouped_core, mesh=mesh,
+            in_specs=(st_spec, P(None, "shard"), lvl_spec),
             out_specs=st_spec,
             check_vma=False,
         ),
         donate_argnums=(0,),
     )
 
-    from lantern_tpu.graph.build_device import ramped_batches
+    from lantern_tpu.graph.build_device import ROUND_GROUP, ramped_batches
 
-    prev_size = None
+    def put_ids(ids3d):
+        return jax.device_put(
+            jnp.asarray(ids3d), NamedSharding(mesh, P(None, "shard"))
+        )
+
+    prev_shape = None
+    pending: list[np.ndarray] = []
     for pos, live, size in ramped_batches(nmax, batch):
         end = pos + live
         ids = np.full((s, size), -1, np.int32)
@@ -419,15 +444,25 @@ def build_sharded_device(
             hi = min(end, len(part[si]))
             if hi > pos:
                 ids[si, : hi - pos] = np.arange(pos, hi, dtype=np.int32)
-        if size != prev_size and prev_size is not None:
-            # a new batch shape means round_fn recompiles on the host
-            # thread; on a single-core host (virtual CPU mesh) a long
-            # compile starves the PREVIOUS round's in-flight collective
-            # rendezvous past XLA's 40 s hard deadline (process abort).
-            # Drain execution before tracing the new shape.
+        if pending and (size != pending[0].shape[1]
+                        or len(pending) == ROUND_GROUP):
+            shape = (len(pending), pending[0].shape[1])
+            if shape != prev_shape and prev_shape is not None:
+                # a new ids shape means rounds_fn recompiles on the host
+                # thread; on a single-core host (virtual CPU mesh) a long
+                # compile starves the PREVIOUS group's in-flight execution
+                # rendezvous past XLA's 40 s hard deadline (process abort).
+                # Drain execution before tracing the new shape.
+                jax.block_until_ready(st.n)
+            prev_shape = shape
+            st = rounds_fn(st, put_ids(np.stack(pending)), level_tuple_dev)
+            pending = []
+        pending.append(ids)
+    if pending:
+        shape = (len(pending), pending[0].shape[1])
+        if shape != prev_shape and prev_shape is not None:
             jax.block_until_ready(st.n)
-        prev_size = size
-        st = round_fn(st, put(ids), level_tuple_dev)
+        st = rounds_fn(st, put_ids(np.stack(pending)), level_tuple_dev)
 
     from lantern_tpu.graph.device import split_labels
 
