@@ -1,0 +1,148 @@
+"""10M-vector GRAPH build + search on ONE chip (BASELINE item 5, graph leg).
+
+benchmarks/flat_10m.py already shows the flat MXU scan serving 10M rows
+HBM-resident; this benchmark proves the GRAPH path at the same scale — the
+structure that matters beyond HBM (sharding) and for incremental serving.
+SIFT-shaped clustered data generated on device (no egress; see
+clustered_1m.py for why gaussian recall is not the representative case).
+
+HBM budget on v5e (16 GB): vectors f32 4.8 GB (donated into the build — no
+defensive copy), bf16 gather view 2.4 GB, level-0 adjacency 1.2 GB, upper
+levels ~0.6 GB, plus transient blocks. Writes graph_10m_result.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+K = 10
+EFS = (32, 64, 128)
+
+
+def _stage(msg):
+    print(f"[g10m {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lantern_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    from lantern_tpu.config import HnswParams
+    from lantern_tpu.flat import flat_search
+    from lantern_tpu.graph.build_device import build_on_device
+    from lantern_tpu.graph.device import join_labels
+    from lantern_tpu.graph.search import search_batched
+
+    n = int(os.environ.get("G10M_N", 10_000_000))
+    dim = 128
+    q = int(os.environ.get("G10M_Q", 1024))
+    iters = int(os.environ.get("G10M_ITERS", 10))
+    jitter = float(os.environ.get("G10M_JITTER", 0.35))
+    n_centers = 32768
+
+    centers = jax.random.normal(jax.random.PRNGKey(0), (n_centers, dim),
+                                jnp.float32)
+
+    @jax.jit
+    def gen(centers):
+        # one fusion: the 10M x 128 normal draw never materializes
+        # separately from the output (HBM peak = the output block)
+        assign = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, n_centers)
+        base = centers[assign] + jitter * jax.random.normal(
+            jax.random.PRNGKey(2), (n, dim), jnp.float32
+        )
+        qassign = jax.random.randint(jax.random.PRNGKey(8), (q,), 0, n_centers)
+        queries = centers[qassign] + jitter * jax.random.normal(
+            jax.random.PRNGKey(7), (q, dim), jnp.float32
+        )
+        return base, queries
+
+    base, queries = gen(centers)
+    jax.block_until_ready((base, queries))
+
+    out = {"n": n, "dim": dim, "jitter": jitter, "n_centers": n_centers,
+           "m": 16, "ef_construction": 128}
+
+    # exact f32 ground truth BEFORE the build: the f32 table is cast to
+    # bf16 (and freed) to fit the 10M build in HBM (store="bf16")
+    _stage("exact ground truth (f32 flat exact scan)")
+    nq_r = min(q, 256)
+    sqn = jnp.einsum("nd,nd->n", base, base)
+    _, true_ids = flat_search(base, sqn, queries[:nq_r], k=K,
+                              exact=True, block=1 << 19)
+    true_np = np.asarray(true_ids)
+    del sqn
+
+    base = base.astype(jnp.bfloat16)  # frees the 4.8 GB f32 table
+
+    params = HnswParams(dim=dim, m=16, ef_construction=128)
+    _stage("device build (10M, donated bf16 vectors)")
+    t0 = time.perf_counter()
+    g = build_on_device(base, params, batch=1024, seed=0, donate=True,
+                        store="bf16")
+    del base  # donated — the table now lives as g.vectors (bf16)
+    _ = int(jnp.sum(g.levels))
+    out["build_device_s"] = round(time.perf_counter() - t0, 1)
+    out["build_inserts_per_s"] = round(n / out["build_device_s"], 1)
+    out["store"] = "bf16"
+    _stage(f"build {out['build_device_s']}s")
+
+    def _recall(ids, labels):
+        lab = join_labels(np.asarray(labels)).astype(np.int64)
+        lab = np.where(np.asarray(ids) >= 0, lab, -1)
+        return float(np.mean([
+            len(set(a[a >= 0].tolist()) & set(b.tolist())) / K
+            for a, b in zip(lab, true_np)
+        ]))
+
+    q_batches = jnp.stack([queries + 1e-3 * (i + 1) for i in range(iters)])
+
+    out["graph"] = {}
+    for ef in EFS:
+        _stage(f"graph ef={ef}")
+
+        @jax.jit
+        def timed(graph, qbs, ef=ef):
+            def body(acc, qb):
+                d, _, _ = search_batched(graph, qb, k=K, ef=ef, expand=2)
+                return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0)), None
+            return jax.lax.scan(body, jnp.float32(0), qbs)[0]
+
+        _ = float(timed(g, q_batches))
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(timed(g, q_batches + 1e-4 * (rep + 1)))
+            best = min(best, time.perf_counter() - t0)
+        _, ids, labs = search_batched(g, queries[:nq_r], k=K, ef=ef, expand=2)
+        out["graph"][f"ef{ef}"] = {
+            "qps": round(q * iters / best, 1),
+            "recall": round(_recall(ids, labs), 4),
+        }
+        _stage(f"ef={ef}: {out['graph'][f'ef{ef}']}")
+
+    res = {"config": out, "device": str(jax.devices()[0])}
+    print(json.dumps(res))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "graph_10m_result.json")
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

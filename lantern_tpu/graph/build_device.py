@@ -800,8 +800,23 @@ def build_on_device(
     labels: np.ndarray | None = None,
     progress_cb=None,
     candidates: str = "flat",
+    donate: bool = False,
+    store: str = "f32",
 ) -> DeviceGraph:
     """Build an HNSW graph for ``vectors`` entirely on device.
+
+    ``donate``: a device-resident ``vectors`` array is consumed in place
+    (no defensive copy — the caller's reference becomes invalid). At 10M
+    rows the copy is ~5 GB of HBM, the difference between fitting one
+    chip or not.
+
+    ``store``: "f32" (default) or "bf16" — the build-state vector table
+    dtype (l2sq/cos only). bf16 is the 10M-scale mode: the table argument
+    halves and the per-dispatch bf16 gather-view temp (_gather_view)
+    vanishes — together ~4.8 GB of HBM at 10M x 128d. Construction
+    distances already flow through bf16 gathers in f32 mode (see
+    _gather_view: recall measured unchanged); the returned DeviceGraph
+    stores bf16 vectors, the preferred search dtype anyway.
 
     Supports l2sq/cos over f32 (apply bf16/i8/PQ storage after build via
     to_device-style conversion). Returns a search-ready DeviceGraph.
@@ -818,17 +833,27 @@ def build_on_device(
     """
     if candidates not in ("flat", "beam"):
         raise ValueError(f"candidates={candidates!r}; expected flat|beam")
+    if store not in ("f32", "bf16"):
+        raise ValueError(f"store={store!r}; expected f32|bf16")
     metric = Metric(params.metric)
-    store_dtype = jnp.uint32 if metric == Metric.HAMMING else jnp.float32
+    if metric == Metric.HAMMING:
+        store_dtype = jnp.uint32
+    else:
+        store_dtype = jnp.bfloat16 if store == "bf16" else jnp.float32
     if isinstance(vectors, jax.Array):
         # device-resident input: no host round trip (host<->device transfers
         # are the expensive path). Copy on device — the build state is
         # DONATED through the insert rounds, which would otherwise
-        # invalidate the caller's array.
-        vec_dev = jnp.array(vectors, dtype=store_dtype, copy=True)
+        # invalidate the caller's array — unless the caller donates it.
+        if donate and vectors.dtype == store_dtype:
+            vec_dev = vectors
+        else:
+            vec_dev = jnp.array(vectors, dtype=store_dtype, copy=True)
     else:
         np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
         vec_dev = jnp.asarray(np.ascontiguousarray(vectors, np_dtype))
+        if vec_dev.dtype != store_dtype:
+            vec_dev = vec_dev.astype(store_dtype)
     n, dim = vec_dev.shape
     m = params.m
     max_in = max_in or max(4, m // 2)

@@ -159,6 +159,32 @@ def test_device_build_tiny():
     assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
 
 
+def test_device_build_bf16_store():
+    """store="bf16" (the 10M-scale HBM mode): bf16 table end to end —
+    recall parity with the f32 build, structure valid, donate accepted."""
+    import jax
+
+    rng = np.random.default_rng(65)
+    base = rng.standard_normal((2000, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    g32 = build_on_device(base, p, batch=256, seed=0)
+    base_bf = jnp.asarray(base).astype(jnp.bfloat16)
+    g16 = build_on_device(base_bf, p, batch=256, seed=0, donate=True,
+                          store="bf16")
+    assert g16.vectors.dtype == jnp.bfloat16
+    assert int(g16.num_nodes) == 2000
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
+    _, ids32, _ = search_batched(g32, jnp.array(q), k=10, ef=64)
+    _, ids16, _ = search_batched(g16, jnp.array(q), k=10, ef=64)
+    r32 = _recall(np.asarray(ids32), np.asarray(tids))
+    r16 = _recall(np.asarray(ids16), np.asarray(tids))
+    assert r16 >= r32 - 0.03, f"bf16 store {r16} vs f32 {r32}"
+    rep = validate_device(g16, full=True)
+    rep.raise_if_failed()
+    del jax
+
+
 def test_device_insert_incremental():
     """ldb_aminsert analog: incremental inserts with capacity growth."""
     from lantern_tpu.graph.build_device import device_insert
