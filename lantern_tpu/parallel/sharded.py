@@ -277,6 +277,7 @@ def build_sharded_device(
     labels: np.ndarray | None = None,
     max_in: int | None = None,
     candidates: str = "flat",
+    store: str = "f32",
 ) -> ShardedIndex:
     """Build all shard subgraphs IN PARALLEL on the mesh's devices.
 
@@ -292,9 +293,16 @@ def build_sharded_device(
     one masked dense MXU matmul for the candidate pools (the single-chip
     builder's fast path — shard-local, still zero collectives); "beam"
     keeps batched HNSW traversal of the partial subgraph.
+
+    ``store``: "f32" (default) or "bf16" build-state vector tables (l2sq/cos
+    only) — the per-device HBM halving that lets a v5e-8 pod hold ~80M
+    128-d rows during the build (see build_on_device's store docs; recall
+    parity measured on the single-chip path).
     """
     if candidates not in ("flat", "beam"):
         raise ValueError(f"candidates={candidates!r}; expected flat|beam")
+    if store not in ("f32", "bf16"):
+        raise ValueError(f"store={store!r}; expected f32|bf16")
     import functools
 
     import jax.numpy as jnp
@@ -360,7 +368,10 @@ def build_sharded_device(
         level_arrays.append(arr)
 
     def put(x, spec=P("shard")):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        # device_put takes host arrays directly: each device receives only
+        # its own shard (jnp.asarray first would stage the FULL array on the
+        # default device — an HBM spike exactly when sharding is the point)
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
 
     if metric == Metric.HAMMING:
         sq = np.zeros((s, nmax), np.float32)  # unused by hamming distances
@@ -377,8 +388,15 @@ def build_sharded_device(
         [int(lvl_np[si, : min(first, len(part[si]))].max()) for si in range(s)],
         np.int32,
     )
+    if store == "bf16" and metric != Metric.HAMMING:
+        # cast on HOST before placement (numpy handles ml_dtypes.bfloat16):
+        # sq_norms above came from the f32 copy, and no device ever holds
+        # the f32 table — the point of store="bf16" is per-device HBM
+        vec_dev = put(vec_np.astype(jnp.bfloat16))
+    else:
+        vec_dev = put(vec_np)
     st = BuildState(
-        vectors=put(vec_np),
+        vectors=vec_dev,
         sq_norms=put(sq),
         neighbors0=put(np.full((s, nmax + 1, 2 * m), -1, np.int32)),
         upper_neighbors=put(np.full((s, ucap, LMAX, m), -1, np.int32)),

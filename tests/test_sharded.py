@@ -109,6 +109,26 @@ def test_build_sharded_device_parallel():
     np.testing.assert_array_equal(np.asarray(g2)[:, 0], np.arange(8))
 
 
+def test_build_sharded_device_bf16_store():
+    """store="bf16" sharded build: bf16 tables per shard, recall parity."""
+    import jax.numpy as jnp
+
+    from lantern_tpu.parallel import build_sharded_device
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix = build_sharded_device(base, p, mesh, batch=128, seed=0, store="bf16")
+    assert ix.graphs.vectors.dtype == jnp.bfloat16
+    assert ix.graphs.vectors.sharding.spec[0] == "shard"
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    d, gids, _ = search_sharded(ix, jnp.array(queries), k=10, ef=48)
+    _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
+    rec = _recall(np.asarray(gids), np.asarray(true_ids))
+    assert rec >= 0.85, f"bf16-store sharded build recall {rec}"
+
+
 def test_build_sharded_device_hamming():
     """Sharded device build over packed-bit vectors (hamming metric) —
     closes the metric matrix for the parallel build path."""
