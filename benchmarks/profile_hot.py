@@ -30,6 +30,10 @@ BATCH = int(os.environ.get("PROF_BATCH", 1024))
 Q = int(os.environ.get("PROF_Q", 256))
 TARGET = os.environ.get("PROF_TARGET", "build")
 TRACE_DIR = os.environ.get("PROF_DIR", "/tmp/prof_hot")
+# build-target knobs: vector-table dtype, built-prefix position, pool kind
+STORE = os.environ.get("PROF_STORE", "f32")  # f32 | bf16
+PREFIX = int(os.environ.get("PROF_PREFIX", 0))  # 0 -> N//2
+FLATCAND = os.environ.get("PROF_FLATCAND", "1") != "0"  # 0 -> beam pools
 
 
 def parse_trace(trace_dir: str, top: int = 25):
@@ -89,7 +93,8 @@ def main():
 
         params = HnswParams(dim=dim, m=16, ef_construction=128)
         m = params.m
-        vecs = jax.random.normal(key, (N, dim), jnp.float32)
+        vdt = jnp.bfloat16 if STORE == "bf16" else jnp.float32
+        vecs = jax.random.normal(key, (N, dim), vdt)
         rng = np.random.default_rng(0)
         u = np.maximum(rng.random(N), 1e-300)
         levels = np.minimum(
@@ -101,16 +106,22 @@ def main():
         ucap = int(has_upper.sum()) + 1
         sq = jnp.einsum("nd,nd->n", vecs, vecs,
                         preferred_element_type=jnp.float32)
+        prefix = PREFIX or N // 2
+        # beam pools traverse the adjacency: fill the built prefix with
+        # random in-prefix neighbors so the traversal's gather pattern is
+        # representative (uniform random rows — the worst/typical case)
+        nbr0 = np.full((N + 1, 2 * m), -1, np.int32)
+        nbr0[:prefix] = rng.integers(0, prefix, (prefix, 2 * m), dtype=np.int32)
         st = bd.BuildState(
             vectors=vecs,
             sq_norms=sq,
-            neighbors0=jnp.full((N + 1, 2 * m), -1, jnp.int32),
+            neighbors0=jnp.asarray(nbr0),
             upper_neighbors=jnp.full((ucap, bd.LMAX, m), -1, jnp.int32),
             upper_slot=jnp.asarray(upper_slot),
             levels=jnp.asarray(levels),
             entry=jnp.asarray(0, jnp.int32),
             max_level=jnp.asarray(int(levels.max()), jnp.int32),
-            n=jnp.asarray(N // 2, jnp.int32),  # half built: real masked work
+            n=jnp.asarray(prefix, jnp.int32),  # built prefix: real masked work
             m=m, dim=dim, metric=int(params.metric),
         )
         level_id_arrays = []
@@ -126,11 +137,14 @@ def main():
             level_id_arrays.append(jnp.asarray(padded))
         level_tuple = tuple(level_id_arrays)
         ids2d = jnp.arange(
-            N // 2, N // 2 + 16 * BATCH, dtype=jnp.int32
+            prefix, prefix + 16 * BATCH, dtype=jnp.int32
         ).reshape(16, BATCH)
         run = lambda s: bd.insert_rounds(  # noqa: E731
-            s, ids2d, level_tuple, params.ef_construction, max(4, m // 2), True
+            s, ids2d, level_tuple, params.ef_construction, max(4, m // 2),
+            FLATCAND,
         )
+        print(f"store={STORE} prefix={prefix} flat_cand={FLATCAND}",
+              flush=True)
         print("warming (compile)...", flush=True)
         t0 = time.perf_counter()
         st2 = run(st)

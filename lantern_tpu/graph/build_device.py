@@ -613,14 +613,24 @@ def device_insert(
     max_in: int | None = None,
     ef_construction: int = 128,
     candidates: str = "flat",
+    flat_until: int | None = None,
 ) -> DeviceGraph:
     """Incrementally insert vectors into an existing DeviceGraph.
 
     The device analog of ldb_aminsert (insert.c): the same batched insert
     rounds run against the live graph; arrays grow by doubling when capacity
     is exhausted (usearch_reserve semantics, build.c:117-126).
-    ``candidates``: see build_on_device (flat = masked dense scan pools).
+    ``candidates``: see build_on_device (flat = masked dense scan pools;
+    "hybrid" uses beam traversal once the live graph holds >= ``flat_until``
+    nodes — the right default shape for trickle inserts into huge graphs,
+    where an O(n) scan per 256-row round would dominate).
     """
+    if candidates not in ("flat", "beam", "hybrid"):
+        raise ValueError(
+            f"candidates={candidates!r}; expected flat|beam|hybrid"
+        )
+    if flat_until is None:
+        flat_until = 2_000_000
     import jax.numpy as jnp
 
     from lantern_tpu.config import QuantKind
@@ -739,9 +749,14 @@ def device_insert(
         rounds.append(ids)
         pos = end
     for i in range(0, len(rounds), ROUND_GROUP):
+        built = n0 + i * batch  # nodes live before this group
         st = insert_rounds(st, jnp.asarray(np.stack(rounds[i : i + ROUND_GROUP])),
                            level_tuple, efc=ef_construction, max_in=max_in,
-                           flat_cand=candidates == "flat")
+                           flat_cand=(
+                               candidates == "flat"
+                               or (candidates == "hybrid"
+                                   and built < flat_until)
+                           ))
 
     from lantern_tpu.graph.device import split_labels
 
@@ -802,6 +817,7 @@ def build_on_device(
     candidates: str = "flat",
     donate: bool = False,
     store: str = "f32",
+    flat_until: int | None = None,
 ) -> DeviceGraph:
     """Build an HNSW graph for ``vectors`` entirely on device.
 
@@ -825,14 +841,28 @@ def build_on_device(
     with a masked dense MXU scan of the built prefix — near-exact efc-NN
     pools, no serialized in-loop gathers (see _insert_round); "beam" uses
     batched HNSW traversal of the partial graph (the reference's
-    construction semantics, usearch_add's search phase).
+    construction semantics, usearch_add's search phase); "hybrid" runs
+    flat pools while the built prefix is below ``flat_until`` nodes and
+    beam traversal after — the flat scan is O(prefix) per round (it is
+    why 10M builds are ~5x slower per insert than 1M), while beam rounds
+    are prefix-size-independent, so the crossover favors beam late in
+    very large builds. The early flat-built core also gives the beam
+    phase a high-quality graph to traverse.
+
+    ``flat_until``: node-count threshold for candidates="hybrid"
+    (default 2_000_000 — the measured flat/beam round-cost crossover on
+    v5e at 128d, batch=1024).
 
     ``progress_cb(frac)`` is invoked with build progress in [0, 1] — the
     analog of the reference's pg_stat_progress_create_index phases
     (hnsw.c:43-57) and the CLI's percent callbacks (pq/mod.rs:26-56).
     """
-    if candidates not in ("flat", "beam"):
-        raise ValueError(f"candidates={candidates!r}; expected flat|beam")
+    if candidates not in ("flat", "beam", "hybrid"):
+        raise ValueError(
+            f"candidates={candidates!r}; expected flat|beam|hybrid"
+        )
+    if flat_until is None:
+        flat_until = 2_000_000
     if store not in ("f32", "bf16"):
         raise ValueError(f"store={store!r}; expected f32|bf16")
     metric = Metric(params.metric)
@@ -915,6 +945,7 @@ def build_on_device(
     # near-max level anyway, and a single static level count means ONE compile
     level_tuple = tuple(level_id_arrays)
     last_pct = -1
+    built = 0  # nodes inserted before the current group (hybrid switch)
     for ids2d, done in _grouped_round_ids(n, batch):
         st = insert_rounds(
             st,
@@ -922,8 +953,12 @@ def build_on_device(
             level_tuple,
             efc=params.ef_construction,
             max_in=max_in,
-            flat_cand=candidates == "flat",
+            flat_cand=(
+                candidates == "flat"
+                or (candidates == "hybrid" and built < flat_until)
+            ),
         )
+        built = done
         if progress_cb is not None:
             pct = done * 100 // n
             if pct != last_pct:

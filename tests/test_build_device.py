@@ -185,6 +185,50 @@ def test_device_build_bf16_store():
     del jax
 
 
+def test_device_build_hybrid_candidates():
+    """candidates="hybrid": flat pools below flat_until, beam above — the
+    10M-scale schedule (flat is O(prefix)/round; beam is size-independent).
+    Both phases must execute and the graph must stay near flat quality."""
+    rng = np.random.default_rng(66)
+    base = rng.standard_normal((3000, 24)).astype(np.float32)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    g_flat = build_on_device(base, p, batch=256, seed=0)
+    g_hy = build_on_device(base, p, batch=256, seed=0,
+                           candidates="hybrid", flat_until=1000)
+    assert int(g_hy.num_nodes) == 3000
+    rep = validate_device(g_hy, full=True)
+    rep.raise_if_failed()
+    q = rng.standard_normal((32, 24)).astype(np.float32)
+    _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
+    _, ids_f, _ = search_batched(g_flat, jnp.array(q), k=10, ef=64)
+    _, ids_h, _ = search_batched(g_hy, jnp.array(q), k=10, ef=64)
+    rf = _recall(np.asarray(ids_f), np.asarray(tids))
+    rh = _recall(np.asarray(ids_h), np.asarray(tids))
+    assert rh >= rf - 0.08, f"hybrid {rh} vs flat {rf}"
+    assert rh >= 0.8
+
+
+def test_device_insert_hybrid_routes_to_beam():
+    """device_insert(candidates="hybrid") with a tiny flat_until must take
+    the beam path for every round and still link correctly."""
+    from lantern_tpu.graph.build_device import device_insert
+
+    rng = np.random.default_rng(67)
+    base = rng.standard_normal((1500, 24)).astype(np.float32)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    g = build_on_device(base, p, batch=256, seed=0)
+    extra = rng.standard_normal((300, 24)).astype(np.float32)
+    g2 = device_insert(g, extra, batch=128, seed=1,
+                       candidates="hybrid", flat_until=1)
+    assert int(g2.num_nodes) == 1800
+    allv = np.concatenate([base, extra])
+    q = rng.standard_normal((24, 24)).astype(np.float32)
+    _, tids = exact_search(jnp.array(q), jnp.array(allv), k=10)
+    _, ids, _ = search_batched(g2, jnp.array(q), k=10, ef=64)
+    rec = _recall(np.asarray(ids), np.asarray(tids))
+    assert rec >= 0.8, f"hybrid-insert recall {rec}"
+
+
 def test_device_insert_incremental():
     """ldb_aminsert analog: incremental inserts with capacity growth."""
     from lantern_tpu.graph.build_device import device_insert
