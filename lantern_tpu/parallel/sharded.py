@@ -278,6 +278,7 @@ def build_sharded_device(
     max_in: int | None = None,
     candidates: str = "flat",
     store: str = "f32",
+    flat_until: int | None = None,
 ) -> ShardedIndex:
     """Build all shard subgraphs IN PARALLEL on the mesh's devices.
 
@@ -292,15 +293,22 @@ def build_sharded_device(
     ``candidates``: "flat" (default) scans each shard's built prefix with
     one masked dense MXU matmul for the candidate pools (the single-chip
     builder's fast path — shard-local, still zero collectives); "beam"
-    keeps batched HNSW traversal of the partial subgraph.
+    keeps batched HNSW traversal of the partial subgraph; "hybrid"
+    switches each shard from flat to beam once its built prefix reaches
+    ``flat_until`` nodes (default 2M — see build_on_device; relevant when
+    per-shard size exceeds a few million rows).
 
     ``store``: "f32" (default) or "bf16" build-state vector tables (l2sq/cos
     only) — the per-device HBM halving that lets a v5e-8 pod hold ~80M
     128-d rows during the build (see build_on_device's store docs; recall
     parity measured on the single-chip path).
     """
-    if candidates not in ("flat", "beam"):
-        raise ValueError(f"candidates={candidates!r}; expected flat|beam")
+    if candidates not in ("flat", "beam", "hybrid"):
+        raise ValueError(
+            f"candidates={candidates!r}; expected flat|beam|hybrid"
+        )
+    if flat_until is None:
+        flat_until = 2_000_000
     if store not in ("f32", "bf16"):
         raise ValueError(f"store={store!r}; expected f32|bf16")
     import functools
@@ -419,32 +427,47 @@ def build_sharded_device(
     # rendezvous for those deadlocks intermittently (40 s hard abort).
     from jax import shard_map
 
-    round_core = jax.vmap(
-        functools.partial(_insert_round, efc=params.ef_construction,
-                          max_in=max_in, flat_cand=candidates == "flat"),
-        in_axes=(0, 0, 0),
-    )
-
-    def grouped_core(st_stack, ids3d, lvls):
-        # R rounds as one lax.scan -> one dispatch per group (fixed
-        # per-dispatch cost; same grouping as build_on_device)
-        def body(stk, ids2d):
-            return round_core(stk, ids2d, lvls), None
-
-        stk, _ = jax.lax.scan(body, st_stack, ids3d)
-        return stk
-
     st_spec = jax.tree_util.tree_map(lambda _: P("shard"), st)
     lvl_spec = tuple(P("shard") for _ in level_tuple_dev)
-    rounds_fn = jax.jit(
-        shard_map(
-            grouped_core, mesh=mesh,
-            in_specs=(st_spec, P(None, "shard"), lvl_spec),
-            out_specs=st_spec,
-            check_vma=False,
-        ),
-        donate_argnums=(0,),
-    )
+
+    def _make_rounds_fn(flat_cand: bool):
+        round_core = jax.vmap(
+            functools.partial(_insert_round, efc=params.ef_construction,
+                              max_in=max_in, flat_cand=flat_cand),
+            in_axes=(0, 0, 0),
+        )
+
+        def grouped_core(st_stack, ids3d, lvls):
+            # R rounds as one lax.scan -> one dispatch per group (fixed
+            # per-dispatch cost; same grouping as build_on_device)
+            def body(stk, ids2d):
+                return round_core(stk, ids2d, lvls), None
+
+            stk, _ = jax.lax.scan(body, st_stack, ids3d)
+            return stk
+
+        return jax.jit(
+            shard_map(
+                grouped_core, mesh=mesh,
+                in_specs=(st_spec, P(None, "shard"), lvl_spec),
+                out_specs=st_spec,
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    # hybrid switches each shard's pool kind at flat_until built nodes —
+    # both variants compile at most once (lazily, only if reached)
+    _rounds_fns: dict = {}
+
+    def rounds_fn_for(group_start_pos: int):
+        fc = (
+            candidates == "flat"
+            or (candidates == "hybrid" and group_start_pos < flat_until)
+        )
+        if fc not in _rounds_fns:
+            _rounds_fns[fc] = _make_rounds_fn(fc)
+        return _rounds_fns[fc]
 
     from lantern_tpu.graph.build_device import ROUND_GROUP, ramped_batches
 
@@ -455,6 +478,7 @@ def build_sharded_device(
 
     prev_shape = None
     pending: list[np.ndarray] = []
+    group_start = 0  # per-shard built count when the pending group began
     for pos, live, size in ramped_batches(nmax, batch):
         end = pos + live
         ids = np.full((s, size), -1, np.int32)
@@ -463,7 +487,9 @@ def build_sharded_device(
             if hi > pos:
                 ids[si, : hi - pos] = np.arange(pos, hi, dtype=np.int32)
         if pending and (size != pending[0].shape[1]
-                        or len(pending) == ROUND_GROUP):
+                        or len(pending) == ROUND_GROUP
+                        or (candidates == "hybrid"
+                            and group_start < flat_until <= pos)):
             shape = (len(pending), pending[0].shape[1])
             if shape != prev_shape and prev_shape is not None:
                 # a new ids shape means rounds_fn recompiles on the host
@@ -473,14 +499,19 @@ def build_sharded_device(
                 # Drain execution before tracing the new shape.
                 jax.block_until_ready(st.n)
             prev_shape = shape
-            st = rounds_fn(st, put_ids(np.stack(pending)), level_tuple_dev)
+            st = rounds_fn_for(group_start)(
+                st, put_ids(np.stack(pending)), level_tuple_dev
+            )
             pending = []
+            group_start = pos
         pending.append(ids)
     if pending:
         shape = (len(pending), pending[0].shape[1])
         if shape != prev_shape and prev_shape is not None:
             jax.block_until_ready(st.n)
-        st = rounds_fn(st, put_ids(np.stack(pending)), level_tuple_dev)
+        st = rounds_fn_for(group_start)(
+            st, put_ids(np.stack(pending)), level_tuple_dev
+        )
 
     from lantern_tpu.graph.device import split_labels
 

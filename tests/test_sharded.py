@@ -129,6 +129,24 @@ def test_build_sharded_device_bf16_store():
     assert rec >= 0.85, f"bf16-store sharded build recall {rec}"
 
 
+def test_build_sharded_device_hybrid_candidates():
+    """candidates="hybrid" on the mesh: each shard switches flat->beam at
+    flat_until built nodes; both pool kinds execute, recall holds."""
+    from lantern_tpu.parallel import build_sharded_device
+
+    rng = np.random.default_rng(43)
+    base = rng.standard_normal((2400, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix = build_sharded_device(base, p, mesh, batch=64, seed=0,
+                              candidates="hybrid", flat_until=128)
+    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    d, gids, _ = search_sharded(ix, jnp.array(queries), k=10, ef=64)
+    _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
+    rec = _recall(np.asarray(gids), np.asarray(true_ids))
+    assert rec >= 0.8, f"hybrid sharded build recall {rec}"
+
+
 def test_build_sharded_device_hamming():
     """Sharded device build over packed-bit vectors (hamming metric) —
     closes the metric matrix for the parallel build path."""
