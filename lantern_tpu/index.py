@@ -138,6 +138,8 @@ class Index:
             g = build_on_device(
                 np.asarray(vectors), self.params, batch=batch, seed=seed,
                 labels=np.asarray(labels, np.uint64),
+                **{k: kw[k] for k in ("candidates", "flat_until", "store")
+                   if k in kw},
             )
             need = len(vectors)
             if need > self._eng._cap:
