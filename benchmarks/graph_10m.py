@@ -54,6 +54,7 @@ def main():
     iters = int(os.environ.get("G10M_ITERS", 10))
     jitter = float(os.environ.get("G10M_JITTER", 0.35))
     n_centers = 32768
+    cand = os.environ.get("G10M_CANDIDATES", "flat")  # flat | hybrid | beam
 
     centers = jax.random.normal(jax.random.PRNGKey(0), (n_centers, dim),
                                 jnp.float32)
@@ -94,12 +95,13 @@ def main():
     _stage("device build (10M, donated bf16 vectors)")
     t0 = time.perf_counter()
     g = build_on_device(base, params, batch=1024, seed=0, donate=True,
-                        store="bf16")
+                        store="bf16", candidates=cand)
     del base  # donated — the table now lives as g.vectors (bf16)
     _ = int(jnp.sum(g.levels))
     out["build_device_s"] = round(time.perf_counter() - t0, 1)
     out["build_inserts_per_s"] = round(n / out["build_device_s"], 1)
     out["store"] = "bf16"
+    out["candidates"] = cand
     _stage(f"build {out['build_device_s']}s")
 
     def _recall(ids, labels):
@@ -138,8 +140,9 @@ def main():
 
     res = {"config": out, "device": str(jax.devices()[0])}
     print(json.dumps(res))
+    suffix = "" if cand == "flat" else f"_{cand}"
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "graph_10m_result.json")
+                            f"graph_10m{suffix}_result.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
 
