@@ -313,3 +313,9 @@ def test_index_device_bulk_build(rng, tmp_path):
     assert (labels3[:, 0] == 2000 + np.arange(4)).all()
     with pytest.raises(ValueError, match="empty index"):
         ix.add(extra, build="device")
+    # builder kwargs forward through the facade (hybrid pool schedule)
+    ix3 = Index(p)
+    ix3.add(base[:1200], build="device", batch=256,
+            candidates="hybrid", flat_until=400)
+    _, lab3 = ix3.search(base[:8], k=5, mode="graph", ef=48)
+    assert (lab3[:, 0] == np.arange(8)).all()
