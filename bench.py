@@ -295,9 +295,39 @@ def bench_config(n, dim, q, iters, host_build: bool):
     return out
 
 
+def _wait_for_tpu(max_wait_s: int):
+    """Block until the TPU backend answers a trivial op (probed in a
+    SUBPROCESS — a failed in-process backend init is cached by jax, so the
+    probe must not poison this process). The axon tunnel goes fully down
+    for 45+ min at a time; without this, a transient outage at bench time
+    loses the round's artifact."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            _stage(f"TPU unreachable after {max_wait_s}s; proceeding anyway")
+            return
+        _stage(f"TPU backend unavailable (probe {attempt}); retrying...")
+        time.sleep(30)
+
+
 def main():
     import jax
 
+    _wait_for_tpu(int(os.environ.get("BENCH_WAIT_TPU_S", 600)))
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
