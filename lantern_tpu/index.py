@@ -396,6 +396,79 @@ class Index:
     def validate(self, full: bool = True):
         return validate(self._eng, full=full)
 
+    def compact(self, params: HnswParams | None = None, build: str = "host",
+                batch: int = 1024, seed: int = 0, **kw) -> "Index":
+        """Rebuild the index without its tombstoned nodes, reclaiming their
+        graph slots and HBM — the maintenance operation the reference
+        explicitly lacks (delete.c:24-25 WARNs that deleted tuples are
+        tombstoned forever; its only recourse is a full ``REINDEX``).
+
+        ``params`` optionally re-parametrizes the graph (new m /
+        ef_construction / ef — the ``REINDEX``-with-new-options analog);
+        dim, metric, and quantization must match the existing index since
+        stored vectors are reused as-is. ``build`` selects the host engine
+        or the TPU bulk builder (``"device"``, native engine only).
+        In-memory only: call save() afterwards to persist.
+        """
+        from lantern_tpu.config import QuantKind
+
+        p = self.params if params is None else params
+        for field in ("dim", "metric", "quant", "pq"):
+            if getattr(p, field) != getattr(self.params, field):
+                raise ValueError(
+                    f"compact cannot change {field} "
+                    f"({getattr(self.params, field)!r} -> {getattr(p, field)!r}); "
+                    "stored vectors would need re-quantization — rebuild from "
+                    "the raw rows instead"
+                )
+        n = self._eng.n
+        live = ~np.asarray(self._eng.deleted[:n], bool)
+        vecs = np.asarray(self._eng.vectors[:n])[live]
+        labs = np.asarray(self._eng.labels[:n])[live].astype(np.uint64)
+        n_live = int(live.sum())
+        cap = max(8, n_live)
+        if self._engine_kind == "native":
+            from lantern_tpu.native import NativeHnsw
+
+            new_eng = NativeHnsw(p, capacity=cap, seed=seed)
+        else:
+            from lantern_tpu.graph.host_build import HostHnsw
+
+            new_eng = HostHnsw(p, capacity=cap, seed=seed)
+        if n_live:
+            if build == "device":
+                if self._engine_kind != "native":
+                    raise ValueError("build='device' requires the native engine")
+                from lantern_tpu.graph.build_device import build_on_device
+
+                g = build_on_device(
+                    vecs, p, batch=batch, seed=seed, labels=labs,
+                    **{k: kw[k] for k in ("candidates", "flat_until", "store")
+                       if k in kw},
+                )
+                new_eng.import_graph(g, labels=labs)
+            elif build == "host":
+                # vectors are already quantized/preprocessed representations;
+                # insert them directly (re-running _preprocess would be
+                # idempotent for i8/bf16 but wasteful, and wrong for B1)
+                new_eng.add(vecs, labels=labs, **kw)
+            else:
+                raise ValueError(f"unknown build {build!r}")
+        self._eng = new_eng
+        self.params = p
+        self._graph = None
+        self._label_sort = None
+        if self._raw_rows is not None:
+            rows = self._raw_rows[live] if len(self._raw_rows) == n else None
+            self._rerank_chunks = [rows] if rows is not None else []
+            self._rerank_rows = rows
+        return self
+
+    def reindex(self, params: HnswParams, build: str = "host", **kw) -> "Index":
+        """Rebuild with new graph parameters (REINDEX analog; also drops
+        tombstones — see compact())."""
+        return self.compact(params=params, build=build, **kw)
+
     @property
     def size(self) -> int:
         return self._eng.n

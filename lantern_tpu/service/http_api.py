@@ -110,10 +110,12 @@ class _Handler(BaseHTTPRequestHandler):
                         "GET /collections", "POST /collections",
                         "DELETE /collections/{name}",
                         "POST /collections/{name}/rows",
+                        "DELETE /collections/{name}/rows",
                         "POST /collections/{name}/search",
                         "POST /collections/{name}/index",
                         "DELETE /collections/{name}/index",
                         "POST /collections/{name}/pq",
+                        "POST /collections/{name}/compact",
                         "GET /models", "GET /runtimes",
                     ],
                 })
@@ -166,6 +168,18 @@ class _Handler(BaseHTTPRequestHandler):
             with self.state.lock:
                 del self.state.collections[col.name]
             return self._reply(200, {"deleted": col.name})
+        if sub == "/rows" and method == "DELETE":
+            # tombstone rows by id (SQL `DELETE FROM t` analog; space is
+            # reclaimed by POST .../compact)
+            b = self._body()
+            ids = np.asarray(b.get("ids", []), np.uint64)
+            if col.index is None or len(ids) == 0:
+                return self._reply(200, {"deleted": 0})
+            with col.lock:
+                ndel = col.index.delete(ids)
+                for lab in ids.tolist():
+                    col.rows.pop(int(lab), None)
+            return self._reply(200, {"deleted": int(ndel)})
         if sub == "/rows" and method == "POST":
             b = self._body()
             rows = b["rows"]
@@ -243,6 +257,34 @@ class _Handler(BaseHTTPRequestHandler):
         if sub == "/index" and method == "DELETE":
             col.index = None
             return self._reply(200, {"dropped": col.name})
+        if sub == "/compact" and method == "POST":
+            # reclaim tombstoned rows (and optionally re-parametrize) —
+            # maintenance the reference only offers as a full SQL REINDEX
+            if col.index is None:
+                return self._err(400, "collection has no index")
+            b = self._body()
+            import dataclasses as _dc
+
+            with col.lock:
+                old = col.index
+                params = _dc.replace(
+                    old.params,
+                    m=int(b.get("m", old.params.m)),
+                    ef_construction=int(
+                        b.get("ef_construction", old.params.ef_construction)
+                    ),
+                    ef=int(b.get("ef", old.params.ef)),
+                )
+                reclaimed = old.num_deleted
+                old.compact(
+                    params=params,
+                    build="device" if b.get("external") else "host",
+                )
+                for lab in list(col.rows):
+                    if old.rows_for_labels(np.uint64(lab))[0] < 0:
+                        col.rows.pop(lab, None)
+            return self._reply(200, {"size": col.index.size,
+                                     "reclaimed": int(reclaimed)})
         if sub == "/pq" and method == "POST":
             # quantize the collection: train a codebook on the stored vectors
             # and REBUILD the index as a PQ index so subsequent /search calls

@@ -319,3 +319,21 @@ def test_index_device_bulk_build(rng, tmp_path):
             candidates="hybrid", flat_until=400)
     _, lab3 = ix3.search(base[:8], k=5, mode="graph", ef=48)
     assert (lab3[:, 0] == np.arange(8)).all()
+
+
+def test_compact_device_build():
+    """compact(build='device') rebuilds the live set with the TPU builder."""
+    from lantern_tpu.index import Index
+
+    rng = np.random.default_rng(77)
+    base = rng.standard_normal((900, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48)
+    ix = Index(p, capacity=900)
+    ix.add(base, build="device", batch=256)
+    ix.delete(np.arange(0, 450, dtype=np.uint64))
+    ix.compact(build="device", batch=256)
+    assert ix.size == 450 and ix.num_deleted == 0
+    ix.validate().raise_if_failed()
+    _, labels = ix.search(base[500], k=5, mode="graph", ef=64)
+    assert labels[0, 0] == 500
+    assert (labels >= 450).all() | (labels == 0).any()

@@ -62,6 +62,29 @@ def test_http_collection_lifecycle(api, rng):
     assert code == 200
 
 
+def test_http_delete_rows_and_compact(api, rng):
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "trash", "metric": "l2sq"})
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    rows = [{"vector": v.tolist(), "t": i} for i, v in enumerate(vecs)]
+    code, res = _req("POST", base + "/collections/trash/rows", {"rows": rows})
+    ids = res["ids"]
+    # tombstone the first 30, then reclaim them
+    code, res = _req("DELETE", base + "/collections/trash/rows",
+                     {"ids": ids[:30]})
+    assert code == 200 and res["deleted"] == 30
+    code, res = _req("POST", base + "/collections/trash/search",
+                     {"vector": vecs[0].tolist(), "k": 3})
+    assert all(r["id"] != ids[0] for r in res["results"])
+    code, res = _req("POST", base + "/collections/trash/compact", {})
+    assert code == 200 and res["reclaimed"] == 30 and res["size"] == 30
+    code, res = _req("POST", base + "/collections/trash/search",
+                     {"vector": vecs[45].tolist(), "k": 3})
+    assert res["results"][0]["id"] == ids[45]
+    assert res["results"][0]["t"] == 45
+    _req("DELETE", base + "/collections/trash")
+
+
 def test_http_text_search(api):
     base = f"http://127.0.0.1:{api.port}"
     _req("POST", base + "/collections", {"name": "docs", "metric": "cosine"})

@@ -289,3 +289,61 @@ def test_crash_between_snapshot_and_log_truncate(tmp_path, rng):
     del recovered
     again = Index.load(snap, log_path=wal, extra_capacity=64)
     assert again.size == 85
+
+
+def test_compact_reclaims_tombstones(tmp_path):
+    """compact() rebuilds without deleted nodes — the reclaim the reference
+    lacks (delete.c:24-25 warns tombstones are permanent until REINDEX)."""
+    rng = np.random.default_rng(60)
+    base = rng.standard_normal((600, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=600)
+    ix.add(base)
+    dead = np.arange(0, 300, dtype=np.uint64)  # delete half
+    assert ix.delete(dead) == 300
+    assert ix.num_deleted == 300
+    ix.compact()
+    assert ix.size == 300 and ix.num_deleted == 0
+    ix.validate().raise_if_failed()
+    # deleted labels are gone; live labels still found exactly
+    q = base[450]
+    d, labels = ix.search(q, k=5, ef=64)
+    assert labels[0, 0] == 450 and d[0, 0] < 1e-5
+    assert not (set(labels[0].tolist()) & set(dead.tolist()))
+    # snapshot round-trips the compacted index
+    path = str(tmp_path / "compacted.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    assert ix2.size == 300 and ix2.num_deleted == 0
+    _, labels2 = ix2.search(q, k=5)
+    assert labels2[0, 0] == 450
+
+
+def test_reindex_changes_params():
+    rng = np.random.default_rng(61)
+    base = rng.standard_normal((400, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=400)
+    ix.add(base)
+    import dataclasses
+
+    ix.reindex(dataclasses.replace(ix.params, m=12, ef_construction=64))
+    assert ix.params.m == 12 and ix.size == 400
+    ix.validate().raise_if_failed()
+    d, labels = ix.search(base[7], k=3, ef=64)
+    assert labels[0, 0] == 7
+    # dim/metric/quant changes are rejected
+    with pytest.raises(ValueError, match="compact cannot change"):
+        ix.reindex(dataclasses.replace(ix.params, metric=Metric.COS))
+
+
+def test_compact_incremental_add_after():
+    rng = np.random.default_rng(62)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=300)
+    ix.add(base)
+    ix.delete(np.arange(100, dtype=np.uint64))
+    ix.compact()
+    extra = rng.standard_normal((50, 16)).astype(np.float32)
+    ix.add(extra, labels=np.arange(1000, 1050, dtype=np.uint64))
+    assert ix.size == 250
+    _, labels = ix.search(extra[0], k=3, ef=64)
+    assert labels[0, 0] == 1000
