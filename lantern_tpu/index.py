@@ -247,6 +247,7 @@ class Index:
         mode: str = "auto",
         recall_target: float = 0.95,
         rerank: int | None = None,
+        with_stats: bool = False,
     ):
         """Batched device search -> (dists [Q,k] f32, labels [Q,k] u64).
 
@@ -260,6 +261,11 @@ class Index:
         ADC scan, then exactly re-score it on the host against the
         full-precision rows (captured at add() or via set_rerank_source).
         Recovers full-precision recall at code-bytes HBM cost.
+
+        ``with_stats=True`` appends a stats dict describing the executed
+        plan — the ``lantern.masked_explain`` analog (lantern.sql:858-901):
+        the chosen mode plus, for graph traversal, per-query visited /
+        expanded counts from search_batched.
         """
         if params is not None:
             k, ef = params.k, params.ef
@@ -277,7 +283,11 @@ class Index:
         graph = self.device_graph
         n = self._eng.n  # host-side count (device fetches ride a slow tunnel)
         if rerank is not None:
-            return self._search_rerank(q, k, rerank, recall_target)
+            out = self._search_rerank(q, k, rerank, recall_target)
+            if with_stats:
+                return (*out, {"mode": "flat_pq_rerank", "shortlist": rerank,
+                               "rows_scanned": n})
+            return out
         if mode == "auto":
             from lantern_tpu.costmodel import choose_search_strategy
 
@@ -285,20 +295,31 @@ class Index:
                 n, graph.vectors.shape[1],
                 graph.vectors.dtype.itemsize, quant_is_pq=self.params.pq,
             )
+        stats = {"mode": mode}
         if mode == "flat":
             from lantern_tpu.flat import flat_search_graph
 
             # exact top-k below ~128k rows (negligible cost, deterministic);
             # approx_max_k at recall_target above
+            exact = n <= (1 << 17)
             d, ids, labels = flat_search_graph(
-                graph, q, k=k, exact=n <= (1 << 17),
+                graph, q, k=k, exact=exact,
                 recall_target=recall_target,
             )
+            stats.update(rows_scanned=n, exact_topk=exact)
         elif mode == "graph":
-            d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k))
+            if with_stats:
+                d, ids, labels, gstats = search_batched(
+                    graph, q, k=k, ef=max(ef, k), with_stats=True
+                )
+                stats.update({k2: np.asarray(v) for k2, v in gstats.items()},
+                             ef=max(ef, k))
+            else:
+                d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k))
         else:
             raise ValueError(f"unknown search mode {mode!r}")
-        return np.asarray(d), join_labels(np.asarray(labels))
+        res = np.asarray(d), join_labels(np.asarray(labels))
+        return (*res, stats) if with_stats else res
 
     def _search_rerank(self, q, k: int, shortlist: int, recall_target: float):
         """ADC-shortlist flat scan + exact host rerank (see search)."""

@@ -347,3 +347,19 @@ def test_compact_incremental_add_after():
     assert ix.size == 250
     _, labels = ix.search(extra[0], k=3, ef=64)
     assert labels[0, 0] == 1000
+
+
+def test_search_with_stats_explain_analog():
+    """Index.search(with_stats=True) — masked_explain analog surface."""
+    rng = np.random.default_rng(63)
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=500)
+    ix.add(base)
+    d, labels, stats = ix.search(base[:4], k=5, mode="flat", with_stats=True)
+    assert stats["mode"] == "flat" and stats["rows_scanned"] == 500
+    assert labels[0, 0] == 0
+    d, labels, stats = ix.search(base[:4], k=5, mode="graph", ef=48,
+                                 with_stats=True)
+    assert stats["mode"] == "graph" and stats["ef"] == 48
+    assert "visited" in stats or "expanded" in stats
+    assert labels[0, 0] == 0
