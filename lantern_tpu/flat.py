@@ -206,10 +206,11 @@ def flat_search(
             k_out,
         )
 
-    # one-shot path: order descending by score -> ascending distance
-    order = jnp.argsort(-bd, axis=1)
-    bd = jnp.take_along_axis(bd, order, axis=1)
-    bi = jnp.take_along_axis(bi, order, axis=1)
+    # one-shot path: order descending by score -> ascending distance.
+    # multi-operand sort, NOT argsort+take_along_axis — positional gathers
+    # on [Q, k] arrays lower to serialized element gathers (CLAUDE.md)
+    sd, si = jax.lax.sort((-bd, bi), dimension=1, num_keys=1, is_stable=False)
+    bd, bi = -sd, si
     out_d = _score_to_dist(bd, q_sq, metric)
     return _pad_k(
         jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
@@ -346,9 +347,10 @@ def flat_search_pq(
             k_out,
         )
 
-    order = jnp.argsort(-bd, axis=1)
-    bd = jnp.take_along_axis(bd, order, axis=1)
-    bi = jnp.take_along_axis(bi, order, axis=1)
+    # multi-operand sort (see flat_search: argsort+take_along_axis would
+    # serialize into element gathers on this [Q, k] block)
+    sd, si = jax.lax.sort((-bd, bi), dimension=1, num_keys=1, is_stable=False)
+    bd, bi = -sd, si
     out_d = _score_to_dist(bd, q_sq, metric)
     return _pad_k(
         jnp.where(jnp.isfinite(bd), out_d, jnp.inf),

@@ -204,11 +204,8 @@ class Index:
         try:
             cb = self._codebook.centroids if self._codebook is not None else None
             save_snapshot(self._eng, path, pq_codebook=cb)
-            new_cap = max(8, self._eng._cap)
-            while new_cap < need:
-                new_cap *= 2
             self._eng = load_snapshot(path, engine="native",
-                                      extra_capacity=new_cap - self._eng.n)
+                                      extra_capacity=new_cap0 - self._eng.n)
         finally:
             import os
 
@@ -330,6 +327,15 @@ class Index:
             raise ValueError(
                 "no rerank source: rows are captured by add(), or supply "
                 "them after load via set_rerank_source()"
+            )
+        if len(rows) != self.size:
+            # e.g. rows added after load_snapshot: only the post-load rows
+            # were captured, so slot ids would silently index into the wrong
+            # rows — refuse rather than rerank against misaligned data
+            raise ValueError(
+                f"rerank source has {len(rows)} rows but the index has "
+                f"{self.size}; supply the full slot-aligned rows via "
+                "set_rerank_source()"
             )
         from lantern_tpu.flat import flat_search_graph
 

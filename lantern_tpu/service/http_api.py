@@ -280,9 +280,10 @@ class _Handler(BaseHTTPRequestHandler):
                     params=params,
                     build="device" if b.get("external") else "host",
                 )
-                for lab in list(col.rows):
-                    if old.rows_for_labels(np.uint64(lab))[0] < 0:
-                        col.rows.pop(lab, None)
+                labs = np.fromiter(col.rows, np.uint64, count=len(col.rows))
+                gone = labs[old.rows_for_labels(labs) < 0]
+                for lab in gone.tolist():
+                    col.rows.pop(int(lab), None)
             return self._reply(200, {"size": col.index.size,
                                      "reclaimed": int(reclaimed)})
         if sub == "/pq" and method == "POST":

@@ -96,7 +96,16 @@ def _read_header(f):
 
 def _write_arr(f, arr: np.ndarray):
     arr = np.ascontiguousarray(arr)
-    meta = f"{arr.dtype.str};{','.join(map(str, arr.shape))}".encode()
+    # ml_dtypes dtypes (bfloat16 vector tables from store="bf16" builds)
+    # stringify as opaque void ('<V2'), which would silently reinterpret the
+    # bytes on load — tag them by NAME instead
+    if arr.dtype.kind == "V":
+        if arr.dtype.name != "bfloat16":
+            raise ValueError(f"unserializable array dtype {arr.dtype}")
+        tag = "bfloat16"
+    else:
+        tag = arr.dtype.str
+    meta = f"{tag};{','.join(map(str, arr.shape))}".encode()
     f.write(struct.pack("<I", len(meta)))
     f.write(meta)
     raw = arr.tobytes()
@@ -112,7 +121,13 @@ def _read_arr(f) -> np.ndarray:
     raw = f.read(rlen)
     if zlib.crc32(raw) != crc:
         raise ValueError("snapshot array corrupted (crc mismatch)")
-    return np.frombuffer(raw, dtype=np.dtype(dtype_s)).reshape(shape).copy()
+    if dtype_s == "bfloat16":
+        import ml_dtypes
+
+        dt = np.dtype(ml_dtypes.bfloat16)
+    else:
+        dt = np.dtype(dtype_s)
+    return np.frombuffer(raw, dtype=dt).reshape(shape).copy()
 
 
 # array serialization order (documented, stable)
@@ -207,10 +222,17 @@ def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0,
             a = np.ascontiguousarray(a, dt)
             return a, a.ctypes.data_as(ctypes.c_void_p)
 
+        # the C engine stores f32 (l2sq/cos) or u32 (hamming) rows; bf16
+        # tables (store="bf16" sharded builds) widen to f32 here — the
+        # values are identical (bf16 -> f32 is exact), only HBM layout on a
+        # later to_device() differs
+        vec_dt = arrs["vectors"].dtype
+        if vec_dt.name == "bfloat16":
+            vec_dt = np.dtype(np.float32)
         keep = []  # keep arrays alive through the call
         ptrs = []
         for name, dt in (
-            ("vectors", arrs["vectors"].dtype), ("neighbors0", np.int32),
+            ("vectors", vec_dt), ("neighbors0", np.int32),
             ("counts0", np.int32), ("upper_neighbors", np.int32),
             ("upper_counts", np.int32), ("upper_slot", np.int32),
             ("levels", np.int32), ("labels", np.uint64), ("deleted", np.uint8),
@@ -258,10 +280,39 @@ class InsertLog:
         self.width = width
         self.dtype = np.dtype(dtype)
         self._payload = self.width * self.dtype.itemsize
-        if os.path.exists(path) and os.path.getsize(path) > 0:
+        size = os.path.getsize(path) if os.path.exists(path) else 0
+        if 0 < size < 8:
+            # torn log header (crash during header write): no record can
+            # have been appended past an incomplete header — recover by
+            # starting a fresh log rather than failing every open until
+            # someone deletes the file by hand
+            size = 0
+        if size > 0:
             # adopt the existing generation and count its valid records so
             # the next snapshot records a correct LSN
-            _, _, self.generation, self.count = self._scan(path, width, self.dtype)
+            vecs, labels, self.generation, self.count = self._scan(
+                path, width, self.dtype
+            )
+            if self.generation == 0:
+                # v1 log (no generation id) or a v2 header torn before its
+                # generation field: generation 0 reads as "no state" in
+                # replay()'s dedup check, which would re-open the
+                # double-replay crash window — mint a real generation and
+                # rewrite the log as v2, carrying the valid records over
+                self.generation = self._new_generation()
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    self._write_log_header(f, self.generation)
+                    for v, lab in zip(vecs, labels):
+                        raw = np.ascontiguousarray(v, self.dtype).tobytes()
+                        f.write(struct.pack(_LOG_REC_HDR, int(lab),
+                                            len(raw), zlib.crc32(raw)))
+                        f.write(raw)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+                self._f = open(path, "ab")
+                return
             # truncate any torn tail record BEFORE appending: records written
             # after torn bytes would be unreachable on the next replay
             # (_scan stops at the first bad record), silently dropping
@@ -340,12 +391,21 @@ class InsertLog:
         vecs, labels = [], []
         with open(path, "rb") as f:
             magic_ver = f.read(8)
-            if len(magic_ver) < 8 or struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
+            if len(magic_ver) < 8:
+                # torn header (crash mid-write): nothing could follow it
+                return (np.empty((0, width), dtype), np.empty(0, np.uint64),
+                        0, 0)
+            if struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
                 raise ValueError("not an insert log")
             version = struct.unpack("<II", magic_ver)[1]
             generation = 0
             if version >= 2:
-                (generation,) = struct.unpack("<Q", f.read(8))
+                gen_bytes = f.read(8)
+                if len(gen_bytes) < 8:
+                    # v2 header torn before its generation field
+                    return (np.empty((0, width), dtype),
+                            np.empty(0, np.uint64), 0, 0)
+                (generation,) = struct.unpack("<Q", gen_bytes)
             while True:
                 h = f.read(hdr)
                 if len(h) < hdr:

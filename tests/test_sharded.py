@@ -198,6 +198,31 @@ def test_sharded_save_load_roundtrip(sharded_ix, tmp_path):
     assert eng0.n > 0
 
 
+def test_sharded_save_load_bf16_store(tmp_path):
+    """bf16 vector tables snapshot faithfully (regression: dtype.str of
+    ml_dtypes.bfloat16 is opaque '<V2' — untagged, the loader reinterpreted
+    the bytes as f32 garbage and read out of bounds in the C import)."""
+    from lantern_tpu.parallel import build_sharded_device
+    from lantern_tpu.parallel.sharded import load_sharded, save_sharded
+
+    rng = np.random.default_rng(43)
+    base = rng.standard_normal((1600, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix = build_sharded_device(base, p, mesh, batch=128, seed=0, store="bf16")
+    d = str(tmp_path / "bf16_sharded")
+    save_sharded(ix, d)
+    ix2 = load_sharded(d, mesh)
+    # values survive the round trip exactly (bf16 -> f32 widening is exact)
+    v0 = np.asarray(ix.graphs.vectors[0, :8], np.float32)
+    v0b = np.asarray(ix2.graphs.vectors[0, :8], np.float32)
+    np.testing.assert_array_equal(v0, v0b)
+    q = jnp.array(base[:8])
+    _, g1, _ = search_sharded(ix, q, k=5, ef=48)
+    _, g2, _ = search_sharded(ix2, q, k=5, ef=48)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
 def test_sharded_insert_delete(tmp_path):
     """Post-build insert routes to round-robin owners; delete tombstones
     across shards; recall holds after both."""

@@ -363,3 +363,74 @@ def test_search_with_stats_explain_analog():
     assert stats["mode"] == "graph" and stats["ef"] == 48
     assert "visited" in stats or "expanded" in stats
     assert labels[0, 0] == 0
+
+
+def test_rerank_refuses_misaligned_rows(tmp_path):
+    """Regression: after load + add, the captured rerank rows cover only the
+    post-load slots; rerank must refuse rather than clamp into wrong rows."""
+    rng = np.random.default_rng(64)
+    base = rng.standard_normal((300, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48, pq=True,
+                   num_subvectors=8, num_centroids=32)
+    ix = Index(p, capacity=300)
+    ix.train_pq(base)
+    ix.add(base)
+    path = str(tmp_path / "pq.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    extra = rng.standard_normal((20, 32)).astype(np.float32)
+    ix2.add(extra, labels=np.arange(1000, 1020, dtype=np.uint64))
+    with pytest.raises(ValueError, match="slot-aligned"):
+        ix2.search(base[0], k=5, rerank=50)
+    # supplying the full rows re-arms rerank
+    ix2.set_rerank_source(np.concatenate([base, extra]))
+    d, labels = ix2.search(base[7], k=5, rerank=50)
+    assert labels[0, 0] == 7
+
+
+def test_insert_log_v1_adoption_mints_generation(tmp_path):
+    """Regression: an adopted generation-0 (v1) log reads as 'no state' in
+    replay dedup, re-opening the double-replay crash window."""
+    import struct as _s
+    import zlib as _z
+
+    from lantern_tpu.storage.snapshot import _LOG_MAGIC, _LOG_REC_HDR
+
+    path = str(tmp_path / "v1.log")
+    vec = np.arange(4, dtype=np.float32)
+    with open(path, "wb") as f:
+        f.write(_s.pack("<II", _LOG_MAGIC, 1))  # v1 header: no generation
+        raw = vec.tobytes()
+        f.write(_s.pack(_LOG_REC_HDR, 7, len(raw), _z.crc32(raw)))
+        f.write(raw)
+    log = InsertLog(path, 4, np.float32)
+    assert log.generation != 0 and log.count == 1
+    log.close()
+    # the rewritten log still replays its record, and dedup now works
+    vecs, labels = InsertLog.replay(path, 4, np.float32)
+    np.testing.assert_array_equal(vecs[0], vec)
+    assert labels[0] == 7
+    vecs2, _ = InsertLog.replay(path, 4, np.float32,
+                                snapshot_state=(log.generation, 1))
+    assert len(vecs2) == 0  # folded record skipped
+
+
+def test_insert_log_torn_header_recovers(tmp_path):
+    """Regression: a torn log header (crash during header write) made the
+    log permanently unopenable (struct.error from __init__/replay)."""
+    for nbytes in (3, 11):  # torn before magic completes / before generation
+        path = str(tmp_path / f"torn{nbytes}.log")
+        full = InsertLog(path, 4, np.float32)
+        full.close()
+        with open(path, "r+b") as f:
+            f.truncate(nbytes)
+        # replay tolerates it
+        vecs, labels = InsertLog.replay(path, 4, np.float32)
+        assert len(vecs) == 0
+        # reopening recovers with a fresh generation and accepts appends
+        log = InsertLog(path, 4, np.float32)
+        assert log.generation != 0
+        log.append(np.ones((1, 4), np.float32), np.array([9], np.uint64))
+        log.close()
+        vecs, labels = InsertLog.replay(path, 4, np.float32)
+        assert len(vecs) == 1 and labels[0] == 9
