@@ -427,12 +427,16 @@ def _pad_k(d, ids, k_out: int):
 
 
 def flat_search_graph(graph, queries, k: int = 10, exact: bool = False,
-                      recall_target: float = 0.95):
+                      recall_target: float = 0.95, exclude=None):
     """Flat scan over a DeviceGraph's stored vectors (labels resolved).
 
     Returns (dists [Q,k], ids [Q,k], labels [Q,k,2]) like search_batched, so
     the Index facade can dispatch between graph traversal and flat scan.
     PQ-coded graphs run the flat ADC scan (decode-on-MXU).
+
+    ``exclude``: optional [cap] bool mask — predicate-filtered search. The
+    dense scan filters EXACTLY (masked rows score -inf before top-k), at
+    zero extra cost: the filter is one fused select on the score block.
     """
     from lantern_tpu.graph.device import QUANT_PQ
 
@@ -442,6 +446,8 @@ def flat_search_graph(graph, queries, k: int = 10, exact: bool = False,
         graph.deleted,
         jnp.arange(graph.cap, dtype=jnp.int32) >= graph.num_nodes,
     )
+    if exclude is not None:
+        excluded = jnp.logical_or(excluded, exclude)
     if graph.quant == QUANT_PQ:
         d, ids = flat_search_pq(
             graph.vectors[: graph.cap],

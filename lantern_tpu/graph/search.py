@@ -262,6 +262,7 @@ def search_batched(
     expand: int = 1,
     max_iters: int | None = None,
     with_stats: bool = False,
+    exclude: jax.Array | None = None,
 ):
     """Batched k-NN search. queries [Q, width] -> (dists, ids, labels) [Q, k].
 
@@ -272,6 +273,12 @@ def search_batched(
     node counts and the loop iteration count — the debugging surface the
     reference exposes via lantern.masked_explain + ldb_dlog cost dumps
     (lantern.sql:858-901, hnsw.c:202-208).
+
+    ``exclude``: optional [cap] bool mask of nodes to drop from the RESULTS
+    (predicate-filtered search). Excluded nodes still route traversal —
+    the same emit-time treatment as tombstones, which is how the reference
+    behaves when the executor filters rows above the index scan. Under
+    heavy filtering raise ef (or use the flat path, which filters exactly).
     """
     ef = max(ef, k)
     if max_iters is None:
@@ -399,8 +406,11 @@ def search_batched(
         cond, body, (beam_d, beam_ids, expanded, exp_log, visited_n, jnp.int32(0))
     )
 
-    # filter tombstones + invalid, take final top-k (delete.c semantics)
+    # filter tombstones + invalid (+ predicate exclusions), take final top-k
+    # (delete.c semantics)
     dead = graph.deleted[jnp.clip(beam_ids, 0, cap - 1)]
+    if exclude is not None:
+        dead = jnp.logical_or(dead, exclude[jnp.clip(beam_ids, 0, cap - 1)])
     final_d = jnp.where(
         jnp.logical_or(beam_ids < 0, dead), _INF, beam_d
     )

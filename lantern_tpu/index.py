@@ -245,6 +245,8 @@ class Index:
         recall_target: float = 0.95,
         rerank: int | None = None,
         with_stats: bool = False,
+        allow_labels: np.ndarray | None = None,
+        deny_labels: np.ndarray | None = None,
     ):
         """Batched device search -> (dists [Q,k] f32, labels [Q,k] u64).
 
@@ -263,6 +265,13 @@ class Index:
         plan — the ``lantern.masked_explain`` analog (lantern.sql:858-901):
         the chosen mode plus, for graph traversal, per-query visited /
         expanded counts from search_batched.
+
+        ``allow_labels`` / ``deny_labels``: predicate-filtered search (the
+        reference relies on the executor filtering rows above the index
+        scan + streaming k-doubling). The flat path filters exactly (one
+        fused select on the score block — free on the MXU); the graph path
+        drops filtered nodes at emit time like tombstones, so raise ``ef``
+        under heavy filtering.
         """
         if params is not None:
             k, ef = params.k, params.ef
@@ -279,8 +288,19 @@ class Index:
         q = jnp.asarray(queries)
         graph = self.device_graph
         n = self._eng.n  # host-side count (device fetches ride a slow tunnel)
+        exclude = None
+        if allow_labels is not None or deny_labels is not None:
+            mask = np.zeros(int(graph.cap), bool)
+            if allow_labels is not None:
+                rows = self.rows_for_labels(allow_labels)
+                mask[:] = True
+                mask[rows[rows >= 0]] = False
+            if deny_labels is not None:
+                rows = self.rows_for_labels(deny_labels)
+                mask[rows[rows >= 0]] = True
+            exclude = jnp.asarray(mask)
         if rerank is not None:
-            out = self._search_rerank(q, k, rerank, recall_target)
+            out = self._search_rerank(q, k, rerank, recall_target, exclude)
             if with_stats:
                 return (*out, {"mode": "flat_pq_rerank", "shortlist": rerank,
                                "rows_scanned": n})
@@ -301,24 +321,27 @@ class Index:
             exact = n <= (1 << 17)
             d, ids, labels = flat_search_graph(
                 graph, q, k=k, exact=exact,
-                recall_target=recall_target,
+                recall_target=recall_target, exclude=exclude,
             )
             stats.update(rows_scanned=n, exact_topk=exact)
         elif mode == "graph":
             if with_stats:
                 d, ids, labels, gstats = search_batched(
-                    graph, q, k=k, ef=max(ef, k), with_stats=True
+                    graph, q, k=k, ef=max(ef, k), with_stats=True,
+                    exclude=exclude,
                 )
                 stats.update({k2: np.asarray(v) for k2, v in gstats.items()},
                              ef=max(ef, k))
             else:
-                d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k))
+                d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k),
+                                                exclude=exclude)
         else:
             raise ValueError(f"unknown search mode {mode!r}")
         res = np.asarray(d), join_labels(np.asarray(labels))
         return (*res, stats) if with_stats else res
 
-    def _search_rerank(self, q, k: int, shortlist: int, recall_target: float):
+    def _search_rerank(self, q, k: int, shortlist: int, recall_target: float,
+                       exclude=None):
         """ADC-shortlist flat scan + exact host rerank (see search)."""
         if not self.params.pq:
             raise ValueError("rerank= applies to PQ indexes only")
@@ -341,7 +364,7 @@ class Index:
 
         _, ids, labels = flat_search_graph(
             self.device_graph, q, k=max(shortlist, k),
-            recall_target=recall_target,
+            recall_target=recall_target, exclude=exclude,
         )
         ids = np.asarray(ids)
         labs = join_labels(np.asarray(labels))

@@ -434,3 +434,37 @@ def test_insert_log_torn_header_recovers(tmp_path):
         log.close()
         vecs, labels = InsertLog.replay(path, 4, np.float32)
         assert len(vecs) == 1 and labels[0] == 9
+
+
+def test_filtered_search():
+    """allow/deny label filters on both search paths (predicate-filtered
+    search; the reference filters above the index scan in the executor)."""
+    rng = np.random.default_rng(65)
+    base = rng.standard_normal((600, 16)).astype(np.float32)
+    ix = Index(HnswParams(dim=16, m=8, ef_construction=48), capacity=600)
+    ix.add(base)
+    q = base[10]
+    # deny the true nearest neighbor: it must vanish from the results
+    for mode in ("flat", "graph"):
+        d, labels = ix.search(q, k=5, mode=mode, ef=64,
+                              deny_labels=np.array([10], np.uint64))
+        assert 10 not in labels[0].tolist(), mode
+        assert np.isfinite(d[0]).all(), mode
+    # allow-list restricted to 8 labels: every result is from the list
+    allow = np.arange(100, 108, dtype=np.uint64)
+    d, labels = ix.search(q, k=5, mode="flat", allow_labels=allow)
+    got = labels[0][np.isfinite(d[0])]
+    assert set(got.tolist()) <= set(allow.tolist())
+    assert len(got) == 5
+    # flat filtering is exact: results match a brute-force over the subset
+    sub = base[100:108]
+    want_local = np.argsort(((sub - q) ** 2).sum(1))[:5]
+    np.testing.assert_array_equal(got, (100 + want_local).astype(np.uint64))
+    # graph path under a narrow filter finds at least some allowed rows
+    d, labels = ix.search(q, k=5, mode="graph", ef=200,
+                          allow_labels=np.arange(0, 300, dtype=np.uint64))
+    got = labels[0][np.isfinite(d[0])]
+    assert len(got) > 0 and set(got.tolist()) <= set(range(300))
+    # unknown labels in the filter are ignored harmlessly
+    d, labels = ix.search(q, k=3, deny_labels=np.array([999999], np.uint64))
+    assert labels[0, 0] == 10
