@@ -71,3 +71,43 @@ def weighted_search(
     order = np.argsort(total)[:k]
     order = order[np.isfinite(total[order])]
     return total[order].astype(np.float32), cand[order]
+
+
+def hybrid_search(
+    index: Index,
+    bm25,
+    query_vector: np.ndarray,
+    query_text: str,
+    k: int = 10,
+    pull_k: int | None = None,
+    rrf_k: int = 60,
+    ef: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hybrid dense + lexical retrieval via reciprocal-rank fusion.
+
+    Beyond the reference: it ships BM25 (`bm25_agg.rs`) and vector search as
+    separate SQL surfaces and leaves fusion to the application's SQL. Here
+    the two rankings merge with RRF — score = Σ 1/(rrf_k + rank) over the
+    lists a label appears in — which needs no score calibration between
+    BM25 points and vector distances.
+
+    ``index`` and ``bm25`` share a label space (doc id == vector label).
+    Returns (rrf_scores [k'], labels [k']) descending, k' <= k.
+    """
+    pull_k = pull_k or max(4 * k, 32)
+    scores: dict[int, float] = {}
+    d, labels = index.search(
+        np.asarray(query_vector)[None, :], k=min(pull_k, 1000), ef=ef
+    )
+    rank = 0
+    for dd, lab in zip(d[0], labels[0]):
+        if np.isfinite(dd):
+            scores[int(lab)] = scores.get(int(lab), 0.0) + 1.0 / (rrf_k + rank)
+            rank += 1
+    for rank, (doc_id, _s) in enumerate(bm25.search(query_text, k=pull_k)):
+        scores[int(doc_id)] = scores.get(int(doc_id), 0.0) + 1.0 / (rrf_k + rank)
+    if not scores:
+        return np.empty(0, np.float32), np.empty(0, np.uint64)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return (np.array([s for _, s in top], np.float32),
+            np.array([lab for lab, _ in top], np.uint64))

@@ -127,3 +127,33 @@ def test_weighted_search(rng):
         [(ix_a, 1.0, col_a[target]), (ix_b, 0.0, col_b[target])], k=5
     )
     assert found2[0] == target
+
+
+def test_hybrid_search_rrf(rng):
+    """Dense + BM25 reciprocal-rank fusion over a shared label space."""
+    from lantern_tpu.config import HnswParams
+    from lantern_tpu.index import Index
+    from lantern_tpu.text.bm25 import Bm25Index
+    from lantern_tpu.weighted import hybrid_search
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "jax tpu kernels with pallas are fast",
+        2: "postgres index access methods and vacuum",
+        3: "fox hunting with hounds in the countryside",
+        4: "tpu matrix units love large batched matmuls",
+    }
+    # vectors: doc 1 and 4 are close (tpu topic), others far
+    base = rng.standard_normal((5, 16)).astype(np.float32) * 5
+    base[4] = base[1] + 0.01
+    ix = Index(HnswParams(dim=16, m=4, ef_construction=16), capacity=8)
+    ix.add(base, labels=np.arange(5, dtype=np.uint64))
+    bm = Bm25Index()
+    bm.add_documents(docs)
+    # query: vector near doc 1, text about "tpu" -> docs 1 and 4 must lead
+    s, labels = hybrid_search(ix, bm, base[1], "tpu kernels", k=3)
+    assert set(labels[:2].tolist()) == {1, 4}
+    assert s[0] >= s[1] >= s[-1]
+    # lexical-only signal still surfaces docs the vector ranking missed
+    s, labels = hybrid_search(ix, bm, base[2], "fox", k=5)
+    assert {0, 3} <= set(labels.tolist())
