@@ -199,22 +199,38 @@ def search_sharded(
     ef: int = 64,
     expand: int = 1,
     max_iters: int | None = None,
+    exclude_gids: jax.Array | None = None,
 ):
     """SPMD search: every shard searches its subgraph, one global top-k merge.
 
     queries [Q, width] (replicated or data-sharded) ->
     (dists [Q, k] f32, global ids [Q, k] i32, labels [Q, k, 2] u32).
+
+    ``exclude_gids``: optional [n_global] bool mask (replicated) —
+    predicate-filtered search by global id; each shard translates it to a
+    local node mask through its gid map (see search_batched's exclude).
     """
 
     def local_search(graph: DeviceGraph, gids: jax.Array):
+        excl = _local_exclude(exclude_gids, gids)
         d, ids, labels = search_batched(
-            graph, queries, k=k, ef=ef, expand=expand, max_iters=max_iters
+            graph, queries, k=k, ef=ef, expand=expand, max_iters=max_iters,
+            exclude=excl,
         )
         gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
         return d, gid, labels
 
     d, gid, labels = jax.vmap(local_search)(index.graphs, index.global_ids)
     return _merge_topk(d, gid, labels, k)
+
+
+def _local_exclude(exclude_gids, gids):
+    """[n_global] bool mask -> this shard's [cap] local node mask (blank
+    gid slots excluded too — they hold no node)."""
+    if exclude_gids is None:
+        return None
+    safe = jnp.clip(gids, 0, exclude_gids.shape[0] - 1)
+    return jnp.where(gids >= 0, exclude_gids[safe], True)
 
 
 def _merge_topk(d, gid, labels, k: int):
@@ -244,6 +260,7 @@ def flat_search_sharded(
     k: int = 10,
     exact: bool = False,
     recall_target: float = 0.95,
+    exclude_gids: jax.Array | None = None,
 ):
     """Sharded FLAT scan: every device MXU-scans its shard, one top-k merge.
 
@@ -258,8 +275,12 @@ def flat_search_sharded(
     from lantern_tpu.flat import flat_search_graph
 
     def local(graph: DeviceGraph, gids: jax.Array):
+        excl = _local_exclude(exclude_gids, gids)
+        if excl is not None:
+            excl = excl[: graph.cap]  # gid maps carry one extra sentinel slot
         d, ids, labels = flat_search_graph(
-            graph, queries, k=k, exact=exact, recall_target=recall_target
+            graph, queries, k=k, exact=exact, recall_target=recall_target,
+            exclude=excl,
         )
         gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
         return d, gid, labels

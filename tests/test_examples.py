@@ -10,7 +10,8 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
 @pytest.mark.parametrize("script", ["quickstart.py", "pq_rerank.py",
-                                    "sharded_mesh.py"])
+                                    "sharded_mesh.py",
+                                    "filters_and_maintenance.py"])
 def test_example_runs(script):
     env = dict(os.environ, EXAMPLE_N="1200", JAX_PLATFORMS="cpu")
     out = subprocess.run(

@@ -282,3 +282,30 @@ def test_sharded_flat_respects_tombstones(sharded_ix):
     ix2 = delete_sharded(ix, np.arange(4, dtype=np.uint64))
     _, gids1, _ = flat_search_sharded(ix2, jnp.array(queries), k=5, exact=True)
     assert not np.isin(np.asarray(gids1), np.arange(4)).any()
+
+
+def test_sharded_filtered_search(sharded_ix):
+    """exclude_gids predicate filter on both sharded search paths."""
+    from lantern_tpu.parallel.sharded import flat_search_sharded
+
+    ix, base, mesh = sharded_ix
+    n = len(base)
+    q = jnp.array(base[:4])
+    _, g0, _ = search_sharded(ix, q, k=3, ef=48)
+    top = int(np.asarray(g0)[0, 0])  # the true top hit (query 0 itself)
+    mask = np.zeros(n, bool)
+    mask[top] = True
+    excl = jnp.array(mask)
+    for fn in (lambda: search_sharded(ix, q, k=3, ef=48, exclude_gids=excl),
+               lambda: flat_search_sharded(ix, q, k=3, exact=True,
+                                           exclude_gids=excl)):
+        d, gids, _ = fn()
+        gids = np.asarray(gids)
+        assert top not in gids[0].tolist()
+        assert (np.asarray(d)[0] < np.inf).all()
+    # allow-style mask: exclude everything but 16 ids -> results within them
+    allow = np.zeros(n, bool); allow[:] = True; allow[100:116] = False
+    d, gids, _ = flat_search_sharded(ix, q, k=5, exact=True,
+                                     exclude_gids=jnp.array(allow))
+    got = np.asarray(gids)[0]
+    assert set(got[got >= 0].tolist()) <= set(range(100, 116))
