@@ -431,9 +431,10 @@ def search_batched(
             # double counts — clip so the unique-visited invariant
             # (visited <= n) the validator asserts still holds
             "visited": jnp.minimum(visited_n, graph.num_nodes),
-            "expanded": jnp.sum(
-                jnp.logical_and(expanded, beam_ids >= 0), axis=1
-            ).astype(jnp.int32),
+            # every expansion is appended to exp_log, so counting it (not
+            # the final beam's expanded flags, which lose nodes displaced
+            # from the beam) gives the true per-query expansion cost
+            "expanded": jnp.sum(exp_log != -2, axis=1).astype(jnp.int32),
         }
         return out_d, out_ids, out_labels, stats
     return out_d, out_ids, out_labels

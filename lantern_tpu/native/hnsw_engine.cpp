@@ -328,15 +328,24 @@ void add_link(Index& ix, int32_t v, int32_t u, int level) {
   ix.node_locks[v].unlock();
 }
 
-void insert_one(Index& ix, int64_t nid, const float* v, uint64_t label,
-                int level) {
-  std::memcpy(ix.vectors.data() + nid * ix.width, v,
-              ix.width * sizeof(float));
-  ix.labels[nid] = label;
-  ix.levels[nid] = level;
+// Insert row `nid` into the graph. Its payload (vector/label/level) was
+// already written by ldb_index_add before workers started, so concurrent
+// readers never observe a reserved-but-unwritten row.
+void insert_one(Index& ix, int64_t nid, int level) {
+  const float* v = vec(ix, nid);
   if (level >= 1) {
     int64_t s = ix.n_upper.fetch_add(1);
-    ix.upper_slot[nid] = (int32_t)s;  // ucap sized for overflow-free growth
+    if (s >= ix.ucap) {
+      // ucap is a statistical bound on Binomial(cap, 1/m) upper-level draws
+      // (+64 slack); if it is ever exceeded, degrade the node to level 0
+      // instead of writing past upper_nbrs — the node stays fully reachable
+      // through level 0, only its express lanes are lost
+      ix.n_upper.fetch_sub(1);
+      level = 0;
+      ix.levels[nid] = 0;
+    } else {
+      ix.upper_slot[nid] = (int32_t)s;
+    }
   }
 
   int32_t entry, max_level;
@@ -359,6 +368,15 @@ void insert_one(Index& ix, int64_t nid, const float* v, uint64_t label,
   int32_t ep = curr;
   for (int l = std::min(level, max_level); l >= 0; l--) {
     search_layer(ix, v, ep, ix.ef_construction, l, cand);
+    // a concurrent inserter can have published THIS node already (its
+    // reverse add_link runs before our set_nbrs at lower levels), so the
+    // candidate search can reach nid at distance 0 — drop it or the
+    // heuristic writes a self-edge and its d=0 skews the pruning
+    cand.erase(std::remove_if(cand.begin(), cand.end(),
+                              [&](const DistId& p) {
+                                return p.second == (int32_t)nid;
+                              }),
+               cand.end());
     select_heuristic(ix, cand, ix.m, sel);
     set_nbrs(ix, (int32_t)nid, l, sel);
     for (int32_t s : sel) add_link(ix, s, (int32_t)nid, l);
@@ -439,17 +457,26 @@ int64_t ldb_index_add(void* h, int64_t count, const float* vecs,
   if (nthreads < 1) nthreads = 1;
   nthreads = std::min<int32_t>(nthreads, 64);
 
+  // publish every row's payload BEFORE any graph insertion starts: n was
+  // already bumped at reservation, so concurrent readers (mark_deleted's
+  // label scan, array exports) can observe rows in [start, start+count) —
+  // they must see real labels/vectors, never the calloc-zero label of a
+  // reserved-but-unwritten row (label 0 is a legal user label)
+  std::memcpy(ix.vectors.data() + start * (int64_t)ix.width, vecs,
+              count * (int64_t)ix.width * sizeof(float));
+  for (int64_t i = 0; i < count; i++) {
+    ix.labels[start + i] = labels ? labels[i] : (uint64_t)(start + i);
+    ix.levels[start + i] = levels[i];
+  }
+
   std::atomic<int64_t> cursor{0};
   auto worker = [&]() {
     for (;;) {
       int64_t i = cursor.fetch_add(1);
       if (i >= count) break;
-      int64_t nid = start + i;
-      // n is published once after the join below — traversal during build
-      // walks links (never n), so partially-inserted batches are invisible
-      // to exports and the final store is the only synchronization needed.
-      insert_one(ix, nid, vecs + i * (int64_t)ix.width,
-                 labels ? labels[i] : (uint64_t)nid, levels[i]);
+      // graph links become reachable as each insert publishes them;
+      // traversal walks links (never n)
+      insert_one(ix, start + i, levels[i]);
     }
   };
   if (nthreads == 1) {
@@ -468,9 +495,18 @@ int64_t ldb_index_add(void* h, int64_t count, const float* vecs,
 int32_t ldb_index_search(void* h, const float* q, int32_t k, int32_t ef,
                          int32_t* out_ids, float* out_dists) {
   Index& ix = *static_cast<Index*>(h);
-  if (ix.entry < 0) return 0;
-  int32_t curr = ix.entry;
-  for (int l = ix.max_level; l >= 1; l--) curr = greedy_at(ix, q, curr, l);
+  int32_t entry, max_level;
+  {
+    // consistent (entry, max_level) pair: insert_one updates both under
+    // this mutex; an unlocked read racing a promotion could pair the old
+    // entry with the new larger max_level (formal data race besides)
+    std::lock_guard<std::mutex> g(ix.entry_mutex);
+    entry = ix.entry;
+    max_level = ix.max_level;
+  }
+  if (entry < 0) return 0;
+  int32_t curr = entry;
+  for (int l = max_level; l >= 1; l--) curr = greedy_at(ix, q, curr, l);
   std::vector<DistId> res;
   search_layer(ix, q, curr, std::max(ef, k), 0, res);
   int32_t cnt = 0;
@@ -531,8 +567,11 @@ void ldb_index_stats(void* h, int64_t* n, int64_t* n_upper, int32_t* entry,
   Index& ix = *static_cast<Index*>(h);
   *n = ix.n.load();
   *n_upper = ix.n_upper.load();
-  *entry = ix.entry;
-  *max_level = ix.max_level;
+  {
+    std::lock_guard<std::mutex> g(ix.entry_mutex);
+    *entry = ix.entry;
+    *max_level = ix.max_level;
+  }
   *cap = ix.cap;
   *ucap = ix.ucap;
 }

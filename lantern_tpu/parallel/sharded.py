@@ -206,31 +206,63 @@ def search_sharded(
     queries [Q, width] (replicated or data-sharded) ->
     (dists [Q, k] f32, global ids [Q, k] i32, labels [Q, k, 2] u32).
 
-    ``exclude_gids``: optional [n_global] bool mask (replicated) —
-    predicate-filtered search by global id; each shard translates it to a
-    local node mask through its gid map (see search_batched's exclude).
+    ``exclude_gids``: predicate-filtered search — either a [n_global] bool
+    mask indexed by global id (translated to per-shard local masks inline),
+    or the [S, cap] per-shard masks from :func:`local_exclude_masks`
+    (precompute once when the same filter serves many searches: the
+    gid-indexed translation is a serialized element gather on TPU).
     """
+    excl = _as_local_masks(index, exclude_gids)
 
-    def local_search(graph: DeviceGraph, gids: jax.Array):
-        excl = _local_exclude(exclude_gids, gids)
+    def local_search(graph: DeviceGraph, gids: jax.Array, excl_row=None):
         d, ids, labels = search_batched(
             graph, queries, k=k, ef=ef, expand=expand, max_iters=max_iters,
-            exclude=excl,
+            exclude=excl_row,
         )
         gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
         return d, gid, labels
 
-    d, gid, labels = jax.vmap(local_search)(index.graphs, index.global_ids)
+    if excl is None:
+        d, gid, labels = jax.vmap(local_search)(index.graphs, index.global_ids)
+    else:
+        d, gid, labels = jax.vmap(local_search)(
+            index.graphs, index.global_ids, excl
+        )
     return _merge_topk(d, gid, labels, k)
 
 
-def _local_exclude(exclude_gids, gids):
-    """[n_global] bool mask -> this shard's [cap] local node mask (blank
-    gid slots excluded too — they hold no node)."""
+def local_exclude_masks(index: ShardedIndex, exclude_gids: jax.Array):
+    """Translate a [n_global] bool global-id mask into per-shard [S, cap]
+    local node masks. Semantics: blank gid slots are always excluded (they
+    hold no node); gids at or beyond the mask's length are NOT excluded (a
+    shorter/stale mask leaves newer inserts unfiltered rather than
+    silently mapping them onto the mask's last entry).
+
+    Precompute this once per filter and pass the result as
+    ``exclude_gids`` to repeated sharded searches — the gid-indexed gather
+    is a serialized element gather on TPU, comparable in cost to a whole
+    search dispatch at 1M rows/shard.
+    """
+    cap = index.graphs.vectors.shape[1]
+    n_mask = exclude_gids.shape[0]
+
+    def one(gids):
+        g = gids[:cap]
+        safe = jnp.clip(g, 0, n_mask - 1)
+        covered = jnp.logical_and(g >= 0, g < n_mask)
+        return jnp.where(g < 0, True,
+                         jnp.where(covered, exclude_gids[safe], False))
+
+    return jax.vmap(one)(index.global_ids)
+
+
+def _as_local_masks(index, exclude_gids):
+    """None | [n_global] | [S, cap] -> None | [S, cap] local masks."""
     if exclude_gids is None:
         return None
-    safe = jnp.clip(gids, 0, exclude_gids.shape[0] - 1)
-    return jnp.where(gids >= 0, exclude_gids[safe], True)
+    if exclude_gids.ndim == 2:
+        return exclude_gids
+    return local_exclude_masks(index, exclude_gids)
 
 
 def _merge_topk(d, gid, labels, k: int):
@@ -274,18 +306,20 @@ def flat_search_sharded(
     """
     from lantern_tpu.flat import flat_search_graph
 
-    def local(graph: DeviceGraph, gids: jax.Array):
-        excl = _local_exclude(exclude_gids, gids)
-        if excl is not None:
-            excl = excl[: graph.cap]  # gid maps carry one extra sentinel slot
+    excl = _as_local_masks(index, exclude_gids)
+
+    def local(graph: DeviceGraph, gids: jax.Array, excl_row=None):
         d, ids, labels = flat_search_graph(
             graph, queries, k=k, exact=exact, recall_target=recall_target,
-            exclude=excl,
+            exclude=excl_row,
         )
         gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
         return d, gid, labels
 
-    d, gid, labels = jax.vmap(local)(index.graphs, index.global_ids)
+    if excl is None:
+        d, gid, labels = jax.vmap(local)(index.graphs, index.global_ids)
+    else:
+        d, gid, labels = jax.vmap(local)(index.graphs, index.global_ids, excl)
     return _merge_topk(d, gid, labels, k)
 
 
@@ -332,10 +366,6 @@ def build_sharded_device(
         flat_until = 2_000_000
     if store not in ("f32", "bf16"):
         raise ValueError(f"store={store!r}; expected f32|bf16")
-    import functools
-
-    import jax.numpy as jnp
-
     from lantern_tpu.config import Metric
     from lantern_tpu.graph.build_device import BuildState, _insert_round
     from lantern_tpu.graph.host_build import LMAX

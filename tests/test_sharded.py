@@ -309,3 +309,33 @@ def test_sharded_filtered_search(sharded_ix):
                                      exclude_gids=jnp.array(allow))
     got = np.asarray(gids)[0]
     assert set(got[got >= 0].tolist()) <= set(range(100, 116))
+
+
+def test_local_exclude_masks_semantics(sharded_ix):
+    """Precomputed local masks; short masks leave uncovered gids unfiltered
+    (regression: clip silently mapped them onto the mask's last entry)."""
+    from lantern_tpu.parallel.sharded import (flat_search_sharded,
+                                              local_exclude_masks)
+
+    ix, base, mesh = sharded_ix
+    n = len(base)
+    # short mask ending in True: gids >= its length must stay searchable
+    short = np.zeros(16, bool)
+    short[15] = True
+    masks = np.asarray(local_exclude_masks(ix, jnp.array(short)))
+    gids = np.asarray(ix.global_ids)[:, : masks.shape[1]]
+    covered_excl = masks[(gids >= 0) & (gids < 16)]
+    assert covered_excl.sum() > 0  # gid 15 excluded somewhere
+    assert not masks[(gids >= 16)].any()  # uncovered gids NOT excluded
+    assert masks[(gids < 0)].all()  # blank slots always excluded
+    # precomputed 2D masks give the same results as the 1D path
+    full = np.zeros(n, bool)
+    full[:50] = True
+    q = jnp.array(base[:4])
+    d1, g1, _ = flat_search_sharded(ix, q, k=5, exact=True,
+                                    exclude_gids=jnp.array(full))
+    d2, g2, _ = flat_search_sharded(ix, q, k=5, exact=True,
+                                    exclude_gids=local_exclude_masks(
+                                        ix, jnp.array(full)))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert not (set(np.asarray(g1)[0].tolist()) & set(range(50)))
