@@ -327,7 +327,9 @@ def _wait_for_tpu(max_wait_s: int):
 def main():
     import jax
 
-    _wait_for_tpu(int(os.environ.get("BENCH_WAIT_TPU_S", 600)))
+    # the axon tunnel has measured outages of 4+ hours; waiting is strictly
+    # better than losing the round's artifact (override via BENCH_WAIT_TPU_S)
+    _wait_for_tpu(int(os.environ.get("BENCH_WAIT_TPU_S", 7200)))
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

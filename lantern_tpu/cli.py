@@ -65,7 +65,8 @@ def _cmd_start_server(args):
     from lantern_tpu.service.http_api import HttpApi
 
     api = HttpApi(host=args.host, port=args.port,
-                  username=args.username, password=args.password).start()
+                  username=args.username, password=args.password,
+                  data_dir=args.data_dir).start()
     print(f"http api on {api.host}:{api.port}", flush=True)
     try:
         import time
@@ -225,6 +226,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--username"), s.add_argument("--password")
+    s.add_argument("--data-dir", default=None,
+                   help="persist collections here (load on start, save on "
+                        "stop and POST /save)")
     s.set_defaults(fn=_cmd_start_server)
 
     s = sub.add_parser("start-daemon")

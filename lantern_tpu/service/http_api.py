@@ -69,6 +69,7 @@ class _Handler(BaseHTTPRequestHandler):
     state: ApiState = None
     auth: str | None = None
     log_obj: Logger = None
+    api = None  # owning HttpApi (persistence)
 
     # --- plumbing ---
     def log_message(self, fmt, *args):  # route through our logger
@@ -127,6 +128,10 @@ class _Handler(BaseHTTPRequestHandler):
                 from lantern_tpu.embeddings import get_available_runtimes
 
                 return self._reply(200, get_available_runtimes())
+            if path == "/save" and method == "POST":
+                if not getattr(self.api, "data_dir", None):
+                    return self._err(400, "server started without --data-dir")
+                return self._reply(200, {"saved": self.api.save_collections()})
             if path == "/collections":
                 if method == "GET":
                     return self._reply(200, [
@@ -330,11 +335,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class HttpApi:
-    """Threaded HTTP API server."""
+    """Threaded HTTP API server.
+
+    ``data_dir``: optional persistence root. Collections load from it at
+    start and save to it on stop() and on ``POST /collections/{n}/save`` —
+    the durability the reference's collections get for free by living in
+    Postgres tables (lantern_cli/src/http_server/collection.rs).
+    """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 username: str | None = None, password: str | None = None):
+                 username: str | None = None, password: str | None = None,
+                 data_dir: str | None = None):
         self.state = ApiState()
+        self.data_dir = data_dir
+        if data_dir:
+            self._load_collections()
         handler = type("BoundHandler", (_Handler,), {
             "state": self.state,
             "auth": (
@@ -342,6 +357,7 @@ class HttpApi:
                 if username else None
             ),
             "log_obj": Logger("http-api"),
+            "api": self,
         })
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
@@ -358,3 +374,62 @@ class HttpApi:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(5)
+        if self.data_dir:
+            self.save_collections()
+
+    # ---- persistence ----
+    def save_collections(self):
+        """Persist every collection: index snapshot + meta/payload JSON."""
+        import json
+        import os
+
+        os.makedirs(self.data_dir, exist_ok=True)
+        with self.state.lock:
+            cols = list(self.state.collections.values())
+        names = []
+        for col in cols:
+            with col.lock:
+                meta = {
+                    "name": col.name, "dim": col.dim,
+                    "metric": int(col.metric), "next_id": col.next_id,
+                    "rows": {str(k): v for k, v in col.rows.items()},
+                    "has_index": col.index is not None,
+                }
+                if col.index is not None:
+                    col.index.save(
+                        os.path.join(self.data_dir, f"{col.name}.ldb"))
+                tmp = os.path.join(self.data_dir, f"{col.name}.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, os.path.join(self.data_dir,
+                                             f"{col.name}.json"))
+            names.append(col.name)
+        # drop metadata of collections deleted since the last save
+        for fn in os.listdir(self.data_dir):
+            if fn.endswith(".json") and fn[:-5] not in names:
+                os.unlink(os.path.join(self.data_dir, fn))
+                ldb = os.path.join(self.data_dir, fn[:-5] + ".ldb")
+                if os.path.exists(ldb):
+                    os.unlink(ldb)
+        return names
+
+    def _load_collections(self):
+        import json
+        import os
+
+        if not os.path.isdir(self.data_dir):
+            return
+        from lantern_tpu.index import Index
+
+        for fn in sorted(os.listdir(self.data_dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self.data_dir, fn)) as f:
+                meta = json.load(f)
+            col = Collection(meta["name"], meta["dim"], Metric(meta["metric"]))
+            col.next_id = meta["next_id"]
+            col.rows = {int(k): v for k, v in meta["rows"].items()}
+            if meta.get("has_index"):
+                col.index = Index.load(
+                    os.path.join(self.data_dir, f"{meta['name']}.ldb"))
+            self.state.collections[meta["name"]] = col

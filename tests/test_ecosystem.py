@@ -465,3 +465,33 @@ def test_http_external_index_rebuild(api, rng):
     code, res = _req("POST", base + "/collections/ext/search",
                      {"vector": vecs[5].tolist(), "k": 3})
     assert code == 200 and res["results"][0]["i"] == 5
+
+
+def test_http_collection_persistence(tmp_path, rng):
+    """data_dir collections survive a server restart (the durability the
+    reference gets from Postgres-backed collections)."""
+    d = str(tmp_path / "apidata")
+    api = HttpApi(port=0, data_dir=d).start()
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "persist", "metric": "l2sq"})
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    rows = [{"vector": v.tolist(), "tag": i} for i, v in enumerate(vecs)]
+    code, res = _req("POST", base + "/collections/persist/rows", {"rows": rows})
+    ids = res["ids"]
+    code, res = _req("POST", base + "/save")
+    assert code == 200 and "persist" in res["saved"]
+    api.stop()  # also saves
+
+    api2 = HttpApi(port=0, data_dir=d).start()
+    base = f"http://127.0.0.1:{api2.port}"
+    code, cols = _req("GET", base + "/collections")
+    assert cols[0]["name"] == "persist" and cols[0]["size"] == 30
+    code, res = _req("POST", base + "/collections/persist/search",
+                     {"vector": vecs[7].tolist(), "k": 3})
+    assert res["results"][0]["id"] == ids[7]
+    assert res["results"][0]["tag"] == 7
+    # inserts continue with non-colliding ids after reload
+    code, res = _req("POST", base + "/collections/persist/rows",
+                     {"rows": [{"vector": vecs[0].tolist(), "tag": 99}]})
+    assert res["ids"][0] not in ids
+    api2.stop()
