@@ -775,6 +775,48 @@ def delete_sharded(index: ShardedIndex, labels: np.ndarray) -> ShardedIndex:
     return index.replace(graphs=index.graphs.replace(deleted=new_deleted))
 
 
+def compact_sharded(
+    index: ShardedIndex,
+    mesh: Mesh,
+    params: HnswParams | None = None,
+    batch: int = 256,
+    seed: int = 0,
+    **kw,
+) -> ShardedIndex:
+    """Rebuild the sharded index without its tombstoned nodes — the
+    multi-chip analog of Index.compact(). Labels are preserved; internal
+    global ids are reassigned (rebalanced round-robin over the live set),
+    so callers holding gids should re-resolve via labels.
+
+    ``params`` optionally re-parametrizes the graph (dim/metric must match
+    — vectors are reused as stored). Runs a full parallel device rebuild
+    (build_sharded_device) over the live rows.
+    """
+    from lantern_tpu.graph.device import join_labels
+
+    p = index.params if params is None else params
+    if index.params is not None:
+        for field in ("dim", "metric"):
+            if getattr(p, field) != getattr(index.params, field):
+                raise ValueError(f"compact_sharded cannot change {field}")
+    s = index.global_ids.shape[0]
+    live_vecs, live_labels = [], []
+    for si in range(s):
+        g = jax.device_get(jax.tree.map(lambda a: a[si], index.graphs))
+        n = int(g.num_nodes)
+        alive = ~np.asarray(g.deleted[:n], bool)
+        v = np.asarray(g.vectors[:n])
+        if v.dtype.name == "bfloat16":
+            v = v.astype(np.float32)  # exact widening; store="bf16" re-casts
+        live_vecs.append(v[alive])
+        live_labels.append(join_labels(np.asarray(g.labels[:n]))[alive])
+    vecs = np.concatenate(live_vecs)
+    labels = np.concatenate(live_labels).astype(np.uint64)
+    return build_sharded_device(
+        vecs, p, mesh, batch=batch, seed=seed, labels=labels, **kw
+    )
+
+
 @dataclasses.dataclass
 class ShardedSearchStats:
     """Static description of the sharded program (for planning/costing)."""

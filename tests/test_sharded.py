@@ -339,3 +339,24 @@ def test_local_exclude_masks_semantics(sharded_ix):
                                         ix, jnp.array(full)))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     assert not (set(np.asarray(g1)[0].tolist()) & set(range(50)))
+
+
+def test_compact_sharded(sharded_ix):
+    """compact_sharded rebuilds the live set in parallel (Index.compact's
+    multi-chip analog); labels preserved, tombstones gone."""
+    from lantern_tpu.parallel.sharded import compact_sharded, delete_sharded
+
+    ix, base, mesh = sharded_ix
+    n = len(base)
+    dead_labels = np.arange(0, n // 2, dtype=np.uint64)
+    ix2 = delete_sharded(ix, dead_labels)
+    ix3 = compact_sharded(ix2, mesh, batch=128, seed=0)
+    live = int(np.asarray(jnp.sum(~ix3.graphs.deleted &
+                                  (ix3.global_ids[:, :-1] >= 0))))
+    assert live == n - n // 2
+    # deleted labels never surface; a live vector still finds itself
+    q = jnp.array(base[n // 2: n // 2 + 4])
+    d, gids, labels = search_sharded(ix3, q, k=3, ef=48)
+    found = join_labels(np.asarray(labels))
+    assert (found[:, 0] == np.arange(n // 2, n // 2 + 4)).all()
+    assert not (set(found.ravel().tolist()) & set(dead_labels.tolist()))
