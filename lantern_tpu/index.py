@@ -186,30 +186,18 @@ class Index:
         return self._rerank_rows
 
     def _grow(self, need: int):
-        """Rebuild-free capacity growth (usearch_reserve doubling)."""
-        import tempfile
+        """Rebuild-free capacity growth (usearch_reserve doubling).
 
+        Native engine only: both call sites guard on the engine kind (the
+        python engine's add() grows its own arrays via _reserve)."""
         from lantern_tpu.native import NativeHnsw
 
-        new_cap0 = max(8, self._eng._cap)
-        while new_cap0 < need:
-            new_cap0 *= 2
-        if isinstance(self._eng, NativeHnsw):
-            # in-place realloc in the engine — no disk round trip
-            self._eng.grow(new_cap0)
-            return
-        # python engine: snapshot arrays into a larger engine
-        with tempfile.NamedTemporaryFile(suffix=".ldb", delete=False) as tf:
-            path = tf.name
-        try:
-            cb = self._codebook.centroids if self._codebook is not None else None
-            save_snapshot(self._eng, path, pq_codebook=cb)
-            self._eng = load_snapshot(path, engine="native",
-                                      extra_capacity=new_cap0 - self._eng.n)
-        finally:
-            import os
-
-            os.unlink(path)
+        if not isinstance(self._eng, NativeHnsw):
+            raise TypeError("_grow is a native-engine operation")
+        new_cap = max(8, self._eng._cap)
+        while new_cap < need:
+            new_cap *= 2
+        self._eng.grow(new_cap)  # in-place realloc — no disk round trip
 
     def delete(self, labels: np.ndarray) -> int:
         """Tombstone by label; no space reclamation (delete.c:24-25 parity)."""
@@ -402,18 +390,26 @@ class Index:
         from lantern_tpu.config import LDB_SCAN_K_MAX
 
         k = init_k
-        emitted = 0
+        seen: set[int] = set()
         while True:
-            d, labels = self.search(query, k=min(k, LDB_SCAN_K_MAX), ef=max(ef or self.params.ef, k))
+            # graph mode: deterministic beam (the reference's streaming IS
+            # the graph scan, scan.c:240-292). The flat path's approx_max_k
+            # does not guarantee prefix stability across re-searches with a
+            # different k, which would duplicate/skip rows; the label
+            # dedup below is belt-and-braces on top.
+            d, labels = self.search(query, k=min(k, LDB_SCAN_K_MAX),
+                                    ef=max(ef or self.params.ef, k),
+                                    mode="graph")
             rows = [
                 (float(dd), int(ll))
                 for dd, ll in zip(d[0], labels[0])
                 if np.isfinite(dd)
             ]
-            for row in rows[emitted:]:
-                yield row
-            emitted = len(rows)
-            if k >= LDB_SCAN_K_MAX or emitted < k:
+            for row in rows:
+                if row[1] not in seen:
+                    seen.add(row[1])
+                    yield row
+            if k >= LDB_SCAN_K_MAX or len(rows) < k:
                 return  # exhausted the reachable live set or hit the cap
             k = min(k * 2, LDB_SCAN_K_MAX)
 

@@ -54,6 +54,13 @@ class ExternalIndexClient:
             (port,) = struct.unpack("<I", self._recv_exact(sock, 4))
             sock.close()
             self.host, self.port = addr, port
+            if is_secure and self.ssl_context is None:
+                # the redirect target is TLS-only (the reference's
+                # is_secure flag drives the SSL vtable choice for the
+                # redirected connection, external_index_socket.c:411-447)
+                import ssl
+
+                self.ssl_context = ssl.create_default_context()
             return self.connect()
         if stype != proto.SERVER_TYPE_INDEXING:
             raise proto.ProtocolError(f"unexpected server type {stype}")
@@ -100,6 +107,21 @@ class ExternalIndexClient:
         codebook: np.ndarray | None = None,  # [S, K, dsub] when params.pq
     ) -> bytes:
         """Stream vectors, receive the serialized index snapshot bytes."""
+        if labels is not None:
+            # wire-format ambiguity (inherited from the reference, server.rs
+            # reads a 4-byte header per frame): a label whose LOW 32 BITS
+            # equal a frame magic is indistinguishable from that frame on
+            # the server side — END would silently truncate the build.
+            # Fail fast BEFORE opening the session.
+            low32 = np.asarray(labels, np.uint64) & np.uint64(0xFFFFFFFF)
+            bad = np.isin(low32, np.array(
+                [proto.END_MSG, proto.ERR_MSG, proto.INIT_MSG], np.uint64))
+            if bad.any():
+                raise ValueError(
+                    f"{int(bad.sum())} label(s) collide with protocol "
+                    "magics in their low 32 bits (e.g. label & 0xffffffff "
+                    "== 0x31333337 reads as END on the wire); remap them"
+                )
         self.connect()
         sock = self._sock
         init = proto.InitParams.from_hnsw_params(params, len(vectors))
@@ -117,10 +139,23 @@ class ExternalIndexClient:
 
         if labels is None:
             labels = np.arange(len(vectors), dtype=np.uint64)
-        vecs = np.ascontiguousarray(
-            vectors,
-            np.uint32 if init.element_bits == 1 else np.float32,
-        )
+        if init.element_bits == 1:
+            vectors = np.asarray(vectors)
+            if vectors.dtype != np.uint32:
+                # float input: bit-pack (sign binarization) like the Index
+                # facade — a value cast to uint32 would silently send
+                # truncated floats with the wrong payload size
+                from lantern_tpu.quant.scalar import binarize
+
+                vectors = np.asarray(binarize(vectors.astype(np.float32)))
+            vecs = np.ascontiguousarray(vectors, np.uint32)
+        else:
+            vecs = np.ascontiguousarray(vectors, np.float32)
+        if vecs.shape[1] * 4 != init.tuple_payload_bytes:
+            raise ValueError(
+                f"vector rows are {vecs.shape[1] * 4} B but the declared "
+                f"init params frame {init.tuple_payload_bytes} B per tuple"
+            )
         try:
             for i in range(len(vecs)):
                 sock.sendall(proto.pack_tuple(int(labels[i]), vecs[i].tobytes()))

@@ -232,25 +232,35 @@ class Daemon:
             try:
                 fn = self._EXECUTORS[job["kind"]]
                 usage = fn(self, job["spec"])
-                self.queue.update(jid, status="completed", usage=usage,
-                                  finished_at=time.time())
-                self.log.info(f"job {jid} completed")
+                if self._finalize(jid, status="completed", usage=usage):
+                    self.log.info(f"job {jid} completed")
                 self._backoff = 0.0
             except Exception as e:  # noqa: BLE001
-                self.queue.update(jid, status="failed", error=str(e),
-                                  finished_at=time.time())
-                self.log.error(f"job {jid} failed: {e}")
-                # exponential backoff before the next claim
+                if self._finalize(jid, status="failed", error=str(e)):
+                    self.log.error(f"job {jid} failed: {e}")
+                # exponential backoff before the next claim (10s -> x2,
+                # daemon/mod.rs:109-187); reset happens on the next success
                 self._backoff = max(self.backoff_base_s, self._backoff * 2)
             return True
         return False
 
+    def _finalize(self, jid, **fields) -> bool:
+        """Write a terminal status unless the job was canceled mid-run —
+        a cancel must stay the terminal state (daemon.rs:229-383)."""
+        cur = self.queue.get(jid)
+        if cur and cur.get("status") == "canceled":
+            return False
+        self.queue.update(jid, finished_at=time.time(), **fields)
+        return True
+
     def _loop(self):
         while not self._stop.is_set():
             if self._backoff > 0:
+                # wait out the backoff but KEEP its value — zeroing it here
+                # would make the next failure start from the base again,
+                # so the documented doubling could never happen
                 if self._stop.wait(self._backoff):
                     break
-                self._backoff = 0.0
             ran = self._step()
             if not ran:
                 self._stop.wait(self.poll_s)

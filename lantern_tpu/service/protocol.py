@@ -53,7 +53,12 @@ class InitParams:
 
     @classmethod
     def from_hnsw_params(cls, p: HnswParams, estimated_capacity: int) -> "InitParams":
-        bits = 1 if p.quant == QuantKind.B1 else p.quant.bits if p.quant != QuantKind.F32 else 32
+        # the wire always carries f32 rows (element_bits=32) except packed
+        # binary — matching the reference, whose client streams raw f32 and
+        # lets the engine quantize at insert (external_index_socket.c:517-536
+        # payload is "f32*dim, or ceil(bits/8) for binary"); the
+        # `quantization` field still tells the server the STORAGE kind
+        bits = 1 if p.quant == QuantKind.B1 else 32
         return cls(
             pq=int(p.pq),
             metric_kind=int(p.metric),
@@ -100,8 +105,14 @@ class InitParams:
     def tuple_payload_bytes(self) -> int:
         if self.element_bits == 1:
             # packed bits; payload word-aligned to u32 like the storage
+            # (ref: ceil(bits/8) — identical whenever dim % 32 == 0)
             return (-(-self.dim // 32)) * 4
-        return self.dim * (self.element_bits // 8)
+        if self.element_bits != 32:
+            raise ProtocolError(
+                f"unsupported element_bits {self.element_bits}: the wire "
+                "carries f32 rows (32) or packed binary (1)"
+            )
+        return self.dim * 4
 
 
 class ProtocolError(RuntimeError):

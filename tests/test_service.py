@@ -294,3 +294,60 @@ def test_in_process_bgworkers(rng, tmp_path):
         ix2 = build_via_server(base[:50], p, "127.0.0.1", host.indexing_port)
         assert ix2.size == 50
         del old_port
+
+
+def test_client_rejects_magic_colliding_labels():
+    """A label whose low 32 bits equal a frame magic would read as END/ERR
+    server-side (wire ambiguity inherited from the reference) — the client
+    must fail fast instead of silently truncating the build."""
+    import numpy as np
+
+    from lantern_tpu.config import HnswParams
+    from lantern_tpu.service.client import ExternalIndexClient
+    from lantern_tpu.service.index_server import IndexServer
+    from lantern_tpu.service.protocol import END_MSG
+
+    srv = IndexServer(port=0, status_port=0)
+    with _ServerThread(srv):
+        vecs = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+        labels = np.array([1, 2, END_MSG, 4], np.uint64)
+        c = ExternalIndexClient("127.0.0.1", srv.port)
+        with pytest.raises(ValueError, match="protocol magics"):
+            c.build(vecs, HnswParams(dim=8, m=4, ef_construction=16),
+                    labels=labels)
+
+
+def test_wire_payload_is_f32_for_scalar_quant():
+    """f16/i8 indexes stream f32 rows (the storage kind rides the init
+    frame's quantization field) — regression: element_bits 16/8 desynced
+    the client's f32 payload from the server's framing."""
+    import numpy as np
+
+    from lantern_tpu.config import HnswParams, QuantKind
+    from lantern_tpu.service.protocol import InitParams
+
+    for quant in (QuantKind.F16, QuantKind.I8):
+        p = HnswParams(dim=16, m=4, ef_construction=16, quant=quant)
+        init = InitParams.from_hnsw_params(p, 100)
+        assert init.element_bits == 32
+        assert init.tuple_payload_bytes == 16 * 4
+        assert init.quantization == int(quant)  # storage kind still carried
+
+
+def test_build_via_server_scalar_quant_end_to_end(tmp_path):
+    """An f16-quantized build streams through the server correctly."""
+    import numpy as np
+
+    from lantern_tpu.config import HnswParams, QuantKind
+    from lantern_tpu.service.client import build_via_server
+    from lantern_tpu.service.index_server import IndexServer
+
+    srv = IndexServer(port=0, status_port=0)
+    with _ServerThread(srv):
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        p = HnswParams(dim=16, m=8, ef_construction=32, quant=QuantKind.F16)
+        ix = build_via_server(vecs, p, "127.0.0.1", srv.port)
+        assert ix.size == 200
+        d, labels = ix.search(vecs[5], k=3, ef=32)
+        assert labels[0, 0] == 5
