@@ -97,7 +97,6 @@ def autotune(
     variants=AUTOTUNE_VARIANTS,
     seed: int = 0,
     engine: str = "device",
-    query_batch: int = 256,
     model_name: str | None = None,
     results_path: str | None = None,
 ) -> tuple[AutotuneResult | None, list[AutotuneResult]]:
@@ -157,7 +156,11 @@ def autotune(
         # reliable completion barrier through this environment's device
         # tunnel and per-call dispatch is expensive — time ONE jitted
         # lax.scan over distinct query batches, completed by a scalar fetch.
-        reps = 5
+        # >= 48 in-jit iterations, else the fixed ~40 ms tunnel dispatch
+        # dominates millisecond batches and variant ranking is RTT noise;
+        # best-of-2 because the first post-compile run is 2-3x slow
+        # (CLAUDE.md measurement discipline)
+        reps = 48
         qbs = jnp.stack([qs + 1e-4 * (i + 1) for i in range(reps)])
 
         @jax.jit
@@ -169,9 +172,12 @@ def autotune(
             return acc
 
         _ = float(_timed(g, qbs))  # compile + warm
-        t0 = time.perf_counter()
-        _ = float(_timed(g, qbs + 1e-5))
-        latency = (time.perf_counter() - t0) / reps
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            _ = float(_timed(g, qbs + 1e-5 * (rep + 1)))
+            best = min(best, time.perf_counter() - t0)
+        latency = best / reps
         ids = np.asarray(ids)
         recall = float(
             np.mean(

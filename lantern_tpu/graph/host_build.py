@@ -271,10 +271,12 @@ class HostHnsw:
             self.max_level = level
 
     def mark_deleted(self, labels: np.ndarray):
-        """Tombstone nodes by label (reference: ldb_ambulkdelete, delete.c)."""
+        """Tombstone nodes by label (reference: ldb_ambulkdelete, delete.c).
+        Returns the count of NEWLY deleted nodes (a repeat delete is 0)."""
         dead = np.isin(self.labels[: self.n], np.asarray(labels, np.uint64))
+        newly = dead & ~self.deleted[: self.n]
         self.deleted[: self.n] |= dead
-        return int(dead.sum())
+        return int(newly.sum())
 
     def search(self, q: np.ndarray, k: int, ef: int | None = None):
         """Single-query reference search (scan.c semantics incl. tombstones)."""

@@ -150,6 +150,9 @@ def exact_search(
     metric = int(Metric(metric))
     n = base.shape[0]
     q = queries.shape[0]
+    if n == 0:  # empty base: no neighbors (not a ZeroDivisionError below)
+        return (jnp.full((q, 0), jnp.inf, jnp.float32),
+                jnp.full((q, 0), -1, jnp.int32))
     k = min(k, n)
     block = min(block, n)
     nblocks = -(-n // block)

@@ -36,6 +36,8 @@ class Collection:
 
     def ensure_index(self, **opts):
         if self.index is None:
+            from lantern_tpu.config import QuantKind
+
             params = HnswParams(
                 dim=self.dim,
                 m=opts.get("m", 16),
@@ -43,6 +45,11 @@ class Collection:
                 ef=opts.get("ef", 64),
                 metric=self.metric,
                 pq=opts.get("pq", False),
+                # hamming rows arrive as raw +/- bit vectors over JSON and
+                # are sign-binarized/packed by Index._preprocess; without
+                # B1 the f32 coercion would value-cast packed words
+                quant=(QuantKind.B1 if self.metric == Metric.HAMMING
+                       else QuantKind.F32),
             )
             self.index = Index(params, capacity=1024)
         return self.index
@@ -212,10 +219,13 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 return self._err(400, "search needs 'vector' or 'text'")
             rerank = b.get("rerank")  # PQ collections: ADC shortlist size
-            d, labels = col.index.search(
-                q, k=k, ef=int(ef) if ef else None,
-                rerank=int(rerank) if rerank else None,
-            )
+            with col.lock:
+                # inserts mutate/realloc the engine arrays the device
+                # mirror is built from — searches must not race them
+                d, labels = col.index.search(
+                    q, k=k, ef=int(ef) if ef else None,
+                    rerank=int(rerank) if rerank else None,
+                )
             out = []
             for dist, lab in zip(d[0], labels[0]):
                 if not np.isfinite(dist):
@@ -226,12 +236,30 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(200, {"results": out})
         if sub == "/index" and method == "POST":
             b = self._body()
+            existed = col.index is not None
             col.ensure_index(
                 m=int(b.get("m", 16)),
                 ef_construction=int(b.get("ef_construction", 128)),
                 ef=int(b.get("ef", 64)),
                 pq=bool(b.get("pq", False)),
             )
+            if existed and not b.get("external"):
+                # an existing index is NOT silently left as-is when the
+                # caller requests different graph params — rebuild in place
+                # (host engine; "external": true takes the device path below)
+                import dataclasses as _dc
+
+                with col.lock:
+                    want = _dc.replace(
+                        col.index.params,
+                        m=int(b.get("m", col.index.params.m)),
+                        ef_construction=int(b.get(
+                            "ef_construction",
+                            col.index.params.ef_construction)),
+                        ef=int(b.get("ef", col.index.params.ef)),
+                    )
+                    if want != col.index.params:
+                        col.index.reindex(want)
             if b.get("external") and col.index.size:
                 # "external": true = rebuild with the fast external builder
                 # (reference: index.rs:51-84 issues CREATE INDEX WITH

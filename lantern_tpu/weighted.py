@@ -51,9 +51,22 @@ def weighted_search(
         eng = ix._eng
         rows = ix.rows_for_labels(cand)  # cached O(log n) resolution
         ok = rows >= 0
+        # tombstoned rows resolve (labels persist) but must be excluded —
+        # the SQL's LEFT-JOIN-NULL semantics treat them as absent
+        ok = np.logical_and(
+            ok, ~np.asarray(eng.deleted[: eng.n])[np.maximum(rows, 0)]
+        )
         vecs = np.asarray(eng.vectors[: eng.n])[np.maximum(rows, 0)]
-        q = np.asarray(q, vecs.dtype)
         metric = Metric(ix.params.metric)
+        if metric == Metric.HAMMING:
+            q = np.asarray(q)
+            if q.dtype != np.uint32:
+                # raw +/- bit vector: sign-binarize/pack like Index.search
+                from lantern_tpu.quant.scalar import binarize
+
+                q = np.asarray(binarize(q.astype(np.float32)))
+        else:
+            q = np.asarray(q, vecs.dtype)
         if metric == Metric.L2SQ:
             dcol = ((vecs - q[None, :]) ** 2).sum(1)
         elif metric == Metric.COS:

@@ -495,3 +495,40 @@ def test_http_collection_persistence(tmp_path, rng):
                      {"rows": [{"vector": vecs[0].tolist(), "tag": 99}]})
     assert res["ids"][0] not in ids
     api2.stop()
+
+
+def test_http_index_reparam_rebuilds(api, rng):
+    """POST /index with new params on an existing index rebuilds it
+    (regression: it silently no-opped and replied success)."""
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "reparam", "metric": "l2sq"})
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    _req("POST", base + "/collections/reparam/rows",
+         {"rows": [{"vector": v.tolist()} for v in vecs]})
+    code, res = _req("POST", base + "/collections/reparam/index",
+                     {"m": 24, "ef_construction": 200})
+    assert code == 200
+    col = api.state.collections["reparam"]
+    assert col.index.params.m == 24
+    assert col.index.params.ef_construction == 200
+    code, res = _req("POST", base + "/collections/reparam/search",
+                     {"vector": vecs[4].tolist(), "k": 1})
+    assert res["results"][0]["id"] == 5  # ids start at 1
+    _req("DELETE", base + "/collections/reparam")
+
+
+def test_http_hamming_collection(api, rng):
+    """Hamming collections binarize raw bit vectors (regression: f32
+    coercion value-cast packed words)."""
+    base = f"http://127.0.0.1:{api.port}"
+    _req("POST", base + "/collections", {"name": "bits", "metric": "hamming"})
+    vecs = rng.standard_normal((50, 64)).astype(np.float32)
+    code, res = _req("POST", base + "/collections/bits/rows",
+                     {"rows": [{"vector": v.tolist(), "i": i}
+                               for i, v in enumerate(vecs)]})
+    assert code == 200
+    code, res = _req("POST", base + "/collections/bits/search",
+                     {"vector": vecs[9].tolist(), "k": 1})
+    assert res["results"][0]["i"] == 9
+    assert res["results"][0]["distance"] == 0.0
+    _req("DELETE", base + "/collections/bits")

@@ -157,3 +157,37 @@ def test_hybrid_search_rrf(rng):
     # lexical-only signal still surfaces docs the vector ranking missed
     s, labels = hybrid_search(ix, bm, base[2], "fox", k=5)
     assert {0, 3} <= set(labels.tolist())
+
+
+def test_weighted_search_excludes_tombstones(rng):
+    """A label deleted in one column must not contribute that column's
+    distance (LEFT-JOIN-NULL semantics) — regression: rows_for_labels
+    resolves tombstoned labels and their stale rows were scored."""
+    from lantern_tpu.config import HnswParams
+    from lantern_tpu.index import Index
+
+    base = rng.standard_normal((200, 8)).astype(np.float32)
+    ix_a = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=200)
+    ix_a.add(base)
+    ix_b = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=200)
+    ix_b.add(base)
+    ix_b.delete(np.array([7], np.uint64))
+    d, found = weighted_search(
+        [(ix_a, 1.0, base[7]), (ix_b, 1.0, base[7])], k=5, ef=32
+    )
+    assert 7 not in found.tolist()  # absent in B -> excluded everywhere
+
+
+def test_weighted_search_hamming_packs_query(rng):
+    """Raw float query against a b1/hamming column is sign-packed, not
+    value-cast (regression: uint32 cast broadcast/garbage)."""
+    from lantern_tpu.config import HnswParams, Metric, QuantKind
+    from lantern_tpu.index import Index
+
+    raw = rng.standard_normal((100, 64)).astype(np.float32)
+    p = HnswParams(dim=64, m=4, ef_construction=16, metric=Metric.HAMMING,
+                   quant=QuantKind.B1)
+    ix = Index(p, capacity=100)
+    ix.add(raw)  # _preprocess binarizes/packs
+    d, found = weighted_search([(ix, 1.0, raw[3])], k=3, ef=32)
+    assert found[0] == 3 and d[0] == 0.0
