@@ -24,10 +24,32 @@ import sys
 import numpy as np
 
 
+def _serve_forever(stop_fn):
+    """Block until SIGINT/SIGTERM, then run the service's stop()."""
+    import signal
+    import threading
+
+    done = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, lambda *_: done.set())
+        except (ValueError, OSError):  # non-main thread / platform quirk
+            pass
+    try:
+        done.wait()
+    except KeyboardInterrupt:
+        pass
+    stop_fn()
+
 def _cmd_start_indexing_server(args):
     from lantern_tpu.service.index_server import IndexServer
 
     ssl_ctx = None
+    if bool(args.cert) != bool(args.key):
+        raise SystemExit(
+            "--cert and --key must be given together; refusing to start a "
+            "plaintext server when TLS was half-configured"
+        )
     if args.cert and args.key:
         import ssl
 
@@ -68,13 +90,7 @@ def _cmd_start_server(args):
                   username=args.username, password=args.password,
                   data_dir=args.data_dir).start()
     print(f"http api on {api.host}:{api.port}", flush=True)
-    try:
-        import time
-
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        api.stop()
+    _serve_forever(lambda: api.stop())
 
 
 def _cmd_start_daemon(args):
@@ -83,13 +99,7 @@ def _cmd_start_daemon(args):
     q = JobQueue(args.queue_dir)
     d = Daemon(q, poll_s=args.poll_interval).start()
     print(f"daemon watching {args.queue_dir}", flush=True)
-    try:
-        import time
-
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        d.stop()
+    _serve_forever(lambda: d.stop())
 
 
 def _cmd_start_bgworkers(args):
@@ -105,13 +115,7 @@ def _cmd_start_bgworkers(args):
     )
     host = ServiceHost(cfg).start()
     print(f"bgworkers up (indexing port={host.indexing_port})", flush=True)
-    try:
-        import time
-
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        host.stop()
+    _serve_forever(lambda: host.stop())
 
 
 def _cmd_autotune_index(args):
@@ -142,7 +146,14 @@ def _cmd_pq_table(args):
 
     vectors = np.load(args.input).astype(np.float32)
     dim = vectors.shape[1]
-    nsub = args.splits or max(1, dim // 4)
+    # default: the largest divisor of dim <= dim//4 (dim//4 verbatim need
+    # not divide dim — e.g. 130-d would crash train_codebook)
+    nsub = args.splits
+    if not nsub:
+        nsub = max(
+            (s for s in range(1, max(1, dim // 4) + 1) if dim % s == 0),
+            default=1,
+        )
     cb = train_codebook(vectors, num_subvectors=nsub,
                         num_centroids=args.clusters, seed=args.seed)
     codes = pq_encode(vectors, cb)

@@ -150,6 +150,9 @@ class LocalTransformerRuntime:
             self.tokenizer = AutoTokenizer.from_pretrained(model_path)
             self.model = AutoModel.from_pretrained(model_path)
         self.model.eval()
+        self.device = device
+        if device != "cpu":
+            self.model = self.model.to(device)
         self.pooling = pooling
         self.max_length = max_length
         self.batch_size = batch_size or self._dynamic_batch_size()
@@ -191,10 +194,12 @@ class LocalTransformerRuntime:
             enc = self.tokenizer(batch, padding=True, truncation=True,
                                  max_length=self.max_length,
                                  return_tensors="pt")
+            if self.device != "cpu":
+                enc = {k: v.to(self.device) for k, v in enc.items()}
             with torch.no_grad():
                 hidden = self.model(**enc).last_hidden_state
             pooled = self._pool(hidden, enc["attention_mask"].unsqueeze(-1))
-            outs.append(pooled.numpy().astype(np.float32))
+            outs.append(pooled.cpu().numpy().astype(np.float32))
         return np.concatenate(outs)
 
 
@@ -396,6 +401,11 @@ def text_embedding(model: str, text: str, dim: int | None = None, **kw) -> np.nd
         return HashRuntime(dim=d).process([text])[0]
     rt_name, _ = KNOWN_MODELS.get(model, ("local", 0))
     if rt_name == "local":
+        # honor the registered pooling for catalog models — bge needs cls,
+        # splade needs relu_log_max; mean-pooling them silently produces
+        # wrong embeddings (ort_runtime.rs:31-134 pools per model)
+        if "pooling" not in kw and model in ONNX_MODELS:
+            kw["pooling"] = ONNX_MODELS[model][1]
         return LocalTransformerRuntime(model_path=model, **kw).process([text])[0]
     rt = get_runtime(rt_name, model=model, **kw)
     return rt.process([text])[0]

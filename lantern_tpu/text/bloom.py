@@ -79,5 +79,13 @@ class Bloom:
 
         num_bits, num_hashes = struct.unpack("<II", raw[:8])
         b = cls(num_bits, num_hashes)
-        b.bits = np.frombuffer(raw[8:], np.uint32).copy()
+        bits = np.frombuffer(raw[8:], np.uint32).copy()
+        want = (num_bits + 31) // 32
+        if len(bits) != want:
+            # catch truncation at load time, not as an IndexError deep
+            # inside a later contains() whose hash lands past the tail
+            raise ValueError(
+                f"bloom payload has {len(bits)} words, header implies {want}"
+            )
+        b.bits = bits
         return b

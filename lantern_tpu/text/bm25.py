@@ -69,12 +69,19 @@ class Bm25Index:
                 term_docs.setdefault(t, {}).setdefault(doc_id, 0)
                 term_docs[t][doc_id] += 1
         for term, dmap in term_docs.items():
+            new_ids = np.fromiter(dmap.keys(), np.int64, len(dmap))
+            new_fqs = np.fromiter(dmap.values(), np.int64, len(dmap))
             old = self.postings.get(term)
             if old is not None:
-                for i, d in enumerate(old.doc_ids):
-                    dmap[int(d)] = dmap.get(int(d), 0) + int(old.fqs[i])
-            ids = np.array(sorted(dmap), np.int64)
-            fqs = np.array([dmap[int(i)] for i in ids], np.int32)
+                # vectorized merge — a per-element python loop over a large
+                # existing posting makes repeated batches quadratic
+                new_ids = np.concatenate([old.doc_ids, new_ids])
+                new_fqs = np.concatenate([old.fqs.astype(np.int64), new_fqs])
+            uniq, inv = np.unique(new_ids, return_inverse=True)
+            agg = np.zeros(len(uniq), np.int64)
+            np.add.at(agg, inv, new_fqs)
+            ids = uniq
+            fqs = agg.astype(np.int32)
             bloom = None
             if len(ids) > self.approx_threshold:
                 bloom = Bloom.from_array(ids.astype(np.uint64))
@@ -90,35 +97,52 @@ class Bm25Index:
         return float(np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5)))
 
     def score(self, query: str, doc_ids: np.ndarray | None = None) -> dict[int, float]:
-        """BM25 scores for docs matching the query terms (bm25_agg analog)."""
+        """BM25 scores for docs matching the query terms (bm25_agg analog).
+
+        Popular terms (posting > approx_threshold) are approximated
+        UNCONDITIONALLY like the reference (bm25_agg.rs:103-119): fq ~= 1,
+        doc_len ~= avgdl — with a candidate ``doc_ids`` set, membership
+        goes through the bloom filter; without one, every posting member
+        gets the constant contribution. Accumulation is vectorized (one
+        np.unique aggregate at the end), not a per-element dict loop.
+        """
         terms = self._tokens(query)
-        scores: dict[int, float] = {}
         lens = self.doc_lens
+        id_chunks: list[np.ndarray] = []
+        sc_chunks: list[np.ndarray] = []
         for t in set(terms):
             post = self.postings.get(t)
             if post is None:
                 continue
             df = len(post.doc_ids)
             idf = self._idf(df)
-            if post.bloom is not None and doc_ids is not None:
-                # popular-term approximation (bm25_agg.rs:103-119):
-                # fq ~= 1, doc_len ~= avgdl, membership via bloom
-                members = post.bloom.contains(np.asarray(doc_ids, np.uint64))
-                denom = 1.0 + self.k1  # fq=1, dl=avgdl -> norm term = 1
-                s = idf * (1.0 * (self.k1 + 1.0)) / denom
-                for d, is_m in zip(np.asarray(doc_ids), members):
-                    if is_m:
-                        scores[int(d)] = scores.get(int(d), 0.0) + s
+            if post.bloom is not None:
+                # popular-term approximation: fq=1, dl=avgdl -> norm = k1
+                s_const = idf * (self.k1 + 1.0) / (1.0 + self.k1)
+                if doc_ids is not None:
+                    cand = np.asarray(doc_ids, np.int64)
+                    ids = cand[post.bloom.contains(cand.astype(np.uint64))]
+                else:
+                    ids = post.doc_ids
+                id_chunks.append(np.asarray(ids, np.int64))
+                sc_chunks.append(np.full(len(ids), s_const, np.float64))
                 continue
             dl = np.array([lens.get(int(d), 0) for d in post.doc_ids], np.float32)
             norm = self.k1 * (1.0 - self.b + self.b * dl / max(self.avgdl, 1e-9))
             s = idf * post.fqs * (self.k1 + 1.0) / (post.fqs + norm)
-            for d, sc in zip(post.doc_ids, s):
-                scores[int(d)] = scores.get(int(d), 0.0) + float(sc)
+            id_chunks.append(np.asarray(post.doc_ids, np.int64))
+            sc_chunks.append(np.asarray(s, np.float64))
+        if not id_chunks:
+            return {}
+        ids_cat = np.concatenate(id_chunks)
+        sc_cat = np.concatenate(sc_chunks)
+        uniq, inv = np.unique(ids_cat, return_inverse=True)
+        agg = np.zeros(len(uniq), np.float64)
+        np.add.at(agg, inv, sc_cat)
         if doc_ids is not None:
-            allowed = set(int(x) for x in np.asarray(doc_ids))
-            scores = {d: s for d, s in scores.items() if d in allowed}
-        return scores
+            keep = np.isin(uniq, np.asarray(doc_ids, np.int64))
+            uniq, agg = uniq[keep], agg[keep]
+        return dict(zip(uniq.tolist(), agg.tolist()))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), descending (search_bm25 analog)."""

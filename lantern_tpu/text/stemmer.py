@@ -173,7 +173,10 @@ def text_to_stem_array(
     for tok in _TOKEN_RE.findall(text.lower()):
         if tok in stops:
             continue
-        out.append(porter_stem(tok.strip("'")))
+        tok = tok.strip("'")
+        if not tok:  # apostrophe-only token — no empty-string terms
+            continue
+        out.append(porter_stem(tok))
     return out
 
 

@@ -191,3 +191,24 @@ def test_weighted_search_hamming_packs_query(rng):
     ix.add(raw)  # _preprocess binarizes/packs
     d, found = weighted_search([(ix, 1.0, raw[3])], k=3, ef=32)
     assert found[0] == 3 and d[0] == 0.0
+
+
+def test_bm25_popular_term_approx_without_candidates():
+    """Popular terms are approximated unconditionally (bm25_agg.rs:103-119)
+    — regression: the approximation only fired with a candidate set, so
+    plain search() looped Python-exact over huge postings."""
+    from lantern_tpu.text.bm25 import Bm25Index
+
+    bm = Bm25Index(approximation_threshold=5)
+    docs = {i: "filler common words" for i in range(20)}
+    docs[3] = "filler common words rare"
+    bm.add_documents(docs)
+    assert bm.postings["common"].bloom is not None  # popular
+    r = dict(bm.search("rare common", k=5))
+    assert 3 in r  # rare term still exact; doc 3 leads
+    assert r[3] == max(r.values())
+    # incremental merges stay vectorized-correct: re-adding bumps fq
+    bm.add_documents({50: "common common common"})
+    post = bm.postings["common"]
+    i = int(np.searchsorted(post.doc_ids, 50))
+    assert post.doc_ids[i] == 50 and post.fqs[i] == 3
