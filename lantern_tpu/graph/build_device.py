@@ -637,16 +637,36 @@ def device_insert(
     from lantern_tpu.graph.device import QUANT_PQ
 
     metric = Metric(graph.metric)
-    if graph.quant == QUANT_PQ:
-        raise NotImplementedError(
-            "device_insert into PQ-coded graphs: decode is lossy; insert via "
-            "the host engine (Index facade) instead"
-        )
-    # quantized storage (bf16 / i8): run the insert rounds over an f32 view
-    # and re-quantize at the end — the graph geometry is defined by the
-    # stored (dequantized) values, so round-tripping is exact for i8 and
-    # idempotent for bf16
+    # quantized storage (bf16 / i8 / PQ codes): run the insert rounds over
+    # an f32 view and re-quantize at the end — the graph geometry is defined
+    # by the stored (dequantized) values, so round-tripping is exact for
+    # i8/PQ and idempotent for bf16
     restore_quant = None
+    pq_cb = None
+    if graph.quant == QUANT_PQ:
+        # decode codes -> f32 view. The decoded (centroid) rows ARE the
+        # stored geometry the ADC search measures, so building over them is
+        # exact, and re-encoding decoded rows returns the original codes
+        # (each centroid is its own nearest centroid). Incoming vectors are
+        # encode+decoded below so the new edges are built over exactly what
+        # will be stored. HBM note: the f32 view costs dim*4 B/row for the
+        # duration of the insert (vs S B/row of codes).
+        from lantern_tpu.quant.pq import _encode_jit
+
+        restore_quant = "pq"
+        pq_cb = graph.pq_codebook  # [S, K, dsub]
+        s_pq, _, dsub = pq_cb.shape
+        codes = graph.vectors  # [cap, S] uint8
+        dec = pq_cb[jnp.arange(s_pq)[None, :], codes.astype(jnp.int32)]
+        graph = graph.replace(
+            vectors=dec.reshape(codes.shape[0], s_pq * dsub),
+            pq_codebook=None,
+        )
+        codes_new = _encode_jit(
+            jnp.asarray(np.asarray(vectors), jnp.float32), pq_cb
+        )
+        dec_new = pq_cb[jnp.arange(s_pq)[None, :], codes_new.astype(jnp.int32)]
+        vectors = np.asarray(dec_new.reshape(codes_new.shape[0], s_pq * dsub))
     if graph.quant == int(QuantKind.I8):
         restore_quant = QuantKind.I8
         f32_vecs = graph.vectors.astype(jnp.float32) * graph.vec_scales[:, None]
@@ -772,7 +792,13 @@ def device_insert(
     # idempotent for bf16 — existing rows were already representable)
     out_vecs = st.vectors
     out_scales = None
-    if restore_quant == QuantKind.I8:
+    if restore_quant == "pq":
+        from lantern_tpu.quant.pq import _encode_jit
+
+        # exact round trip: old rows are decoded centroids (re-encode is
+        # identity), new rows were pre-snapped to their centroids above
+        out_vecs = _encode_jit(st.vectors, pq_cb)
+    elif restore_quant == QuantKind.I8:
         from lantern_tpu.quant.scalar import quantize_i8
 
         out_vecs, out_scales = quantize_i8(st.vectors)
@@ -802,6 +828,7 @@ def device_insert(
         upper_ids=jnp.asarray(up_ids),
         m=m, dim=graph.dim, metric=int(metric), quant=graph.quant,
         vec_scales=out_scales,
+        pq_codebook=pq_cb,
         use_pallas=graph.use_pallas,
     )
 

@@ -337,3 +337,46 @@ def test_compact_device_build():
     _, labels = ix.search(base[500], k=5, mode="graph", ef=64)
     assert labels[0, 0] == 500
     assert (labels >= 450).all() | (labels == 0).any()
+
+
+def test_device_insert_pq_graph():
+    """device_insert into a PQ-coded graph (decode -> insert rounds ->
+    re-encode; closes the last quant-matrix hole — the geometry is the
+    decoded centroids, so the round trip is exact)."""
+    from lantern_tpu.graph.device import QUANT_PQ, to_device
+    from lantern_tpu.index import Index
+    from lantern_tpu.quant.pq import pq_decode
+
+    rng = np.random.default_rng(91)
+    base = rng.standard_normal((600, 32)).astype(np.float32)
+    p = HnswParams(dim=32, m=8, ef_construction=48, pq=True,
+                   num_subvectors=8, num_centroids=64)
+    ix = Index(p, capacity=600)
+    ix.train_pq(base)
+    ix.add(base)
+    g = ix.device_graph
+    assert g.quant == QUANT_PQ
+    old_codes = np.asarray(g.vectors[:600]).copy()
+
+    from lantern_tpu.graph.build_device import device_insert
+
+    extra = rng.standard_normal((40, 32)).astype(np.float32)
+    g2 = device_insert(g, extra, labels=np.arange(1000, 1040, dtype=np.uint64),
+                       batch=16, seed=1)
+    assert g2.quant == QUANT_PQ and g2.pq_codebook is not None
+    assert int(g2.num_nodes) == 640
+    # old codes unchanged by the round trip
+    np.testing.assert_array_equal(np.asarray(g2.vectors[:600]), old_codes)
+    # new rows are searchable through the ADC beam; compare against the
+    # decoded geometry (what a PQ graph measures)
+    dec = pq_decode(np.asarray(g2.vectors[:640]), ix._codebook)
+    q = extra[:8]
+    d, ids, labels = search_batched(g2, jnp.asarray(q), k=3, ef=48)
+    ids = np.asarray(ids)
+    # exact ADC oracle: nearest decoded row per query
+    want = np.argmin(((dec[None] - q[:, None]) ** 2).sum(-1), axis=1)
+    hit = (ids[:, 0] == want).mean()
+    assert hit >= 0.75, f"pq insert top-1 agreement {hit}"
+    lab = join_labels(np.asarray(labels))
+    assert (lab[:, 0][ids[:, 0] >= 600] >= 1000).all()
+    validate_device(g2).raise_if_failed()
