@@ -81,6 +81,89 @@ def _score_to_dist(score, q_sq, metric: Metric):
     return -score  # hamming scores are negated distances
 
 
+def _blocked_flat_topk(score_fn, arrays, q, n, k, k_out, block, q_sq,
+                       metric, exact, recall_target):
+    """Shared blocked-scan top-k merge (flat_search / flat_search_pq).
+
+    ``score_fn(**slices)`` maps row-slices of ``arrays`` (dict name ->
+    [N, ...] array or None; None entries are passed through as None) to a
+    [Q, B] DESCENDING-better score block, applying any tombstone mask
+    itself. One-shot below ``block`` rows; otherwise a lax.scan over full
+    blocks with a multi-operand sort merge, plus one partial tail step.
+    Returns (dists [Q, k_out] ascending, ids [Q, k_out]).
+    """
+    names = list(arrays)
+
+    def block_topk(score, kk=k):
+        if exact:
+            return jax.lax.top_k(score, kk)
+        return jax.lax.approx_max_k(score, kk, recall_target=recall_target)
+
+    if n <= block:
+        bd, bi = block_topk(score_fn(**arrays))
+        # order descending by score -> ascending distance. multi-operand
+        # sort, NOT argsort+take_along_axis — positional gathers on [Q, k]
+        # arrays lower to serialized element gathers (CLAUDE.md)
+        sd, si = jax.lax.sort((-bd, bi), dimension=1, num_keys=1,
+                              is_stable=False)
+        bd, bi = -sd, si
+    else:
+        nb = n // block
+        tail = n - nb * block  # remainder handled in a final partial step
+        xs = {
+            name: a[: nb * block].reshape((nb, block) + a.shape[1:])
+            for name, a in arrays.items() if a is not None
+        }
+        xs["off"] = jnp.arange(nb, dtype=jnp.int32)[:, None] * block
+
+        def body(carry, xs_b):
+            best_d, best_i = carry
+            s = score_fn(**{name: xs_b.get(name) for name in names})
+            bd, bi = block_topk(s)
+            bi = bi + xs_b["off"]
+            md, mi = jax.lax.sort(
+                (jnp.concatenate([best_d, bd], 1),
+                 jnp.concatenate([best_i, bi], 1)),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            return (md[:, -k:], mi[:, -k:]), None
+
+        init = (jnp.full((q, k), -jnp.inf), jnp.full((q, k), -1, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body, init, xs)
+        if tail:
+            s = score_fn(**{
+                name: (a[nb * block:] if a is not None else None)
+                for name, a in arrays.items()
+            })
+            kt = min(k, tail)
+            # exact top_k is a slow TPU custom call (profiled 34 ms at
+            # tail=82k, B=1024) — use the approx reduction unless exact
+            # results were requested
+            if exact or kt >= tail:
+                td, ti = jax.lax.top_k(s, kt)
+            else:
+                td, ti = jax.lax.approx_max_k(s, kt,
+                                              recall_target=recall_target)
+            pad = k - ti.shape[1]
+            if pad:
+                td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)
+                ti = jnp.concatenate([ti, jnp.full((q, pad), -1, jnp.int32)], 1)
+            md, mi = jax.lax.sort(
+                (jnp.concatenate([bd, td], 1),
+                 jnp.concatenate([bi, ti + nb * block], 1)),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            bd, bi = md[:, -k:], mi[:, -k:]
+        # ascending order for the final result
+        bd, bi = bd[:, ::-1], bi[:, ::-1]
+    out_d = _score_to_dist(bd, q_sq, metric)
+    return _pad_k(
+        jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
+        jnp.where(jnp.isfinite(bd), bi, -1),
+        k_out,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "exact", "recall_target", "block"),
@@ -113,15 +196,14 @@ def flat_search(
         qf = queries.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=1)
 
-    def block_scores(vb, nb, scales_b):
+    def score_fn(v, nrm=None, sc=None, dele=None):
         if metric == Metric.HAMMING:
-            return _hamming_scores(vb, queries)
-        return _scores(vb, nb, queries, metric, scales_b)
-
-    def block_topk(score):
-        if exact:
-            return jax.lax.top_k(score, k)
-        return jax.lax.approx_max_k(score, k, recall_target=recall_target)
+            s = _hamming_scores(v, queries)
+        else:
+            s = _scores(v, nrm, queries, metric, sc)
+        if dele is not None:
+            s = jnp.where(dele[None, :], -jnp.inf, s)
+        return s
 
     if block is None:
         if metric == Metric.HAMMING:
@@ -130,92 +212,10 @@ def flat_search(
         else:
             block = n if n <= ONESHOT_MAX_N else ONESHOT_MAX_N
 
-    if n <= block:
-        score = block_scores(vectors, sq_norms, vec_scales)
-        if deleted is not None:
-            score = jnp.where(deleted[None, :], -jnp.inf, score)
-        bd, bi = block_topk(score)
-    else:
-        nb = n // block
-        tail = n - nb * block  # remainder handled in a final partial step
-        vb = vectors[: nb * block].reshape((nb, block) + vectors.shape[1:])
-        nsb = sq_norms[: nb * block].reshape(nb, block)
-        scb = (
-            vec_scales[: nb * block].reshape(nb, block)
-            if vec_scales is not None else None
-        )
-        delb = (
-            deleted[: nb * block].reshape(nb, block)
-            if deleted is not None else None
-        )
-
-        def body(carry, xs):
-            best_d, best_i = carry
-            blk = xs["v"]
-            s = block_scores(blk, xs["n"], xs.get("s"))
-            if "del" in xs:
-                s = jnp.where(xs["del"][None, :], -jnp.inf, s)
-            bd, bi = block_topk(s)
-            bi = bi + xs["off"]
-            md, mi = jax.lax.sort(
-                (jnp.concatenate([best_d, bd], 1),
-                 jnp.concatenate([best_i, bi], 1)),
-                dimension=1, num_keys=1, is_stable=False,
-            )
-            return (md[:, -k:], mi[:, -k:]), None
-
-        xs = {"v": vb, "n": nsb,
-              "off": jnp.arange(nb, dtype=jnp.int32)[:, None] * block}
-        if scb is not None:
-            xs["s"] = scb
-        if delb is not None:
-            xs["del"] = delb
-        init = (jnp.full((q, k), -jnp.inf), jnp.full((q, k), -1, jnp.int32))
-        (bd, bi), _ = jax.lax.scan(body, init, xs)
-        if tail:
-            s = block_scores(
-                vectors[nb * block:], sq_norms[nb * block:],
-                vec_scales[nb * block:] if vec_scales is not None else None,
-            )
-            if deleted is not None:
-                s = jnp.where(deleted[nb * block:][None, :], -jnp.inf, s)
-            kt = min(k, tail)
-            # exact top_k is a slow TPU custom call (profiled 34 ms at
-            # tail=82k, B=1024) — use the approx reduction unless exact
-            # results were requested
-            if exact or kt >= tail:
-                td, ti = jax.lax.top_k(s, kt)
-            else:
-                td, ti = jax.lax.approx_max_k(s, kt, recall_target=recall_target)
-            pad = k - ti.shape[1]
-            if pad:
-                td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)
-                ti = jnp.concatenate([ti, jnp.full((q, pad), -1, jnp.int32)], 1)
-            md, mi = jax.lax.sort(
-                (jnp.concatenate([bd, td], 1),
-                 jnp.concatenate([bi, ti + nb * block], 1)),
-                dimension=1, num_keys=1, is_stable=False,
-            )
-            bd, bi = md[:, -k:], mi[:, -k:]
-        # ascending order for the final result
-        bd, bi = bd[:, ::-1], bi[:, ::-1]
-        out_d = _score_to_dist(bd, q_sq, metric)
-        return _pad_k(
-            jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
-            jnp.where(jnp.isfinite(bd), bi, -1),
-            k_out,
-        )
-
-    # one-shot path: order descending by score -> ascending distance.
-    # multi-operand sort, NOT argsort+take_along_axis — positional gathers
-    # on [Q, k] arrays lower to serialized element gathers (CLAUDE.md)
-    sd, si = jax.lax.sort((-bd, bi), dimension=1, num_keys=1, is_stable=False)
-    bd, bi = -sd, si
-    out_d = _score_to_dist(bd, q_sq, metric)
-    return _pad_k(
-        jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
-        jnp.where(jnp.isfinite(bd), bi, -1),
-        k_out,
+    return _blocked_flat_topk(
+        score_fn,
+        {"v": vectors, "nrm": sq_norms, "sc": vec_scales, "dele": deleted},
+        q, n, k, k_out, block, q_sq, metric, exact, recall_target,
     )
 
 
@@ -272,8 +272,8 @@ def flat_search_pq(
     qf_bf = qf.astype(jnp.bfloat16)
     interp = jax.default_backend() == "cpu"
 
-    def block_scores(codes_b, del_b):
-        dec = pq_decode_mxu(codes_b, cb_flat, interpret=interp)  # [B, dim] bf16
+    def score_fn(c, dele=None):
+        dec = pq_decode_mxu(c, cb_flat, interpret=interp)  # [B, dim] bf16
         x_sq = jnp.sum(
             dec.astype(jnp.float32) * dec.astype(jnp.float32), axis=1
         )
@@ -285,77 +285,13 @@ def flat_search_pq(
             score = 2.0 * dots - x_sq[None, :]
         else:
             score = dots / jnp.maximum(jnp.sqrt(x_sq)[None, :], 1e-30)
-        if del_b is not None:
-            score = jnp.where(del_b[None, :], -jnp.inf, score)
+        if dele is not None:
+            score = jnp.where(dele[None, :], -jnp.inf, score)
         return score
 
-    def block_topk(score):
-        if exact:
-            return jax.lax.top_k(score, k)
-        return jax.lax.approx_max_k(score, k, recall_target=recall_target)
-
-    block = min(block, n)
-    if n <= block:
-        bd, bi = block_topk(block_scores(codes, deleted))
-    else:
-        nb = n // block
-        tail = n - nb * block
-        xs = {"c": codes[: nb * block].reshape(nb, block, s),
-              "off": jnp.arange(nb, dtype=jnp.int32)[:, None] * block}
-        if deleted is not None:
-            xs["del"] = deleted[: nb * block].reshape(nb, block)
-
-        def body(carry, xs_b):
-            best_d, best_i = carry
-            sc = block_scores(xs_b["c"], xs_b.get("del"))
-            bd, bi = block_topk(sc)
-            bi = bi + xs_b["off"]
-            md, mi = jax.lax.sort(
-                (jnp.concatenate([best_d, bd], 1),
-                 jnp.concatenate([best_i, bi], 1)),
-                dimension=1, num_keys=1, is_stable=False,
-            )
-            return (md[:, -k:], mi[:, -k:]), None
-
-        init = (jnp.full((q, k), -jnp.inf), jnp.full((q, k), -1, jnp.int32))
-        (bd, bi), _ = jax.lax.scan(body, init, xs)
-        if tail:
-            sc = block_scores(
-                codes[nb * block:],
-                deleted[nb * block:] if deleted is not None else None,
-            )
-            kt = min(k, tail)
-            if exact or kt >= tail:
-                td, ti = jax.lax.top_k(sc, kt)
-            else:
-                td, ti = jax.lax.approx_max_k(sc, kt, recall_target=recall_target)
-            pad = k - ti.shape[1]
-            if pad:
-                td = jnp.concatenate([td, jnp.full((q, pad), -jnp.inf)], 1)
-                ti = jnp.concatenate([ti, jnp.full((q, pad), -1, jnp.int32)], 1)
-            md, mi = jax.lax.sort(
-                (jnp.concatenate([bd, td], 1),
-                 jnp.concatenate([bi, ti + nb * block], 1)),
-                dimension=1, num_keys=1, is_stable=False,
-            )
-            bd, bi = md[:, -k:], mi[:, -k:]
-        bd, bi = bd[:, ::-1], bi[:, ::-1]
-        out_d = _score_to_dist(bd, q_sq, metric)
-        return _pad_k(
-            jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
-            jnp.where(jnp.isfinite(bd), bi, -1),
-            k_out,
-        )
-
-    # multi-operand sort (see flat_search: argsort+take_along_axis would
-    # serialize into element gathers on this [Q, k] block)
-    sd, si = jax.lax.sort((-bd, bi), dimension=1, num_keys=1, is_stable=False)
-    bd, bi = -sd, si
-    out_d = _score_to_dist(bd, q_sq, metric)
-    return _pad_k(
-        jnp.where(jnp.isfinite(bd), out_d, jnp.inf),
-        jnp.where(jnp.isfinite(bd), bi, -1),
-        k_out,
+    return _blocked_flat_topk(
+        score_fn, {"c": codes, "dele": deleted},
+        q, n, k, k_out, min(block, n), q_sq, metric, exact, recall_target,
     )
 
 
