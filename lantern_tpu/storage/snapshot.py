@@ -62,7 +62,7 @@ def _read_header(f):
     """Version-dispatching header read (v1 snapshots upgrade on load; unknown
     future versions error with the reference's 'rebuild' message,
     scan.c:103-105 / sql/updates migration story)."""
-    magic, version = struct.unpack("<II", f.read(8))
+    magic, version = struct.unpack("<II", _read_exactly(f, 8))
     if magic != HEADER_MAGIC:
         raise ValueError(f"not a lantern-tpu snapshot (magic {magic:#x})")
     if version not in (1, 2):
@@ -73,10 +73,12 @@ def _read_header(f):
     (
         dim, width, m, efc, ef, metric, quant, n, n_upper,
         entry, max_level, pq, ncent, nsub,
-    ) = struct.unpack(_HDR_V1_BODY, f.read(struct.calcsize(_HDR_V1_BODY)))
+    ) = struct.unpack(
+        _HDR_V1_BODY, _read_exactly(f, struct.calcsize(_HDR_V1_BODY))
+    )
     if version >= 2:
         log_generation, log_lsn = struct.unpack(
-            _HDR_V2_EXTRA, f.read(struct.calcsize(_HDR_V2_EXTRA))
+            _HDR_V2_EXTRA, _read_exactly(f, struct.calcsize(_HDR_V2_EXTRA))
         )
     else:  # v1 -> v2 upgrade: no log bookkeeping existed; replay everything
         log_generation, log_lsn = 0, 0
@@ -113,12 +115,22 @@ def _write_arr(f, arr: np.ndarray):
     f.write(raw)
 
 
+def _read_exactly(f, n: int) -> bytes:
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"snapshot truncated (wanted {n} bytes, got {len(buf)}); "
+            "restore from a complete snapshot or rebuild the index"
+        )
+    return buf
+
+
 def _read_arr(f) -> np.ndarray:
-    (mlen,) = struct.unpack("<I", f.read(4))
-    dtype_s, shape_s = f.read(mlen).decode().split(";")
+    (mlen,) = struct.unpack("<I", _read_exactly(f, 4))
+    dtype_s, shape_s = _read_exactly(f, mlen).decode().split(";")
     shape = tuple(int(x) for x in shape_s.split(",")) if shape_s else ()
-    rlen, crc = struct.unpack("<QI", f.read(12))
-    raw = f.read(rlen)
+    rlen, crc = struct.unpack("<QI", _read_exactly(f, 12))
+    raw = _read_exactly(f, rlen)
     if zlib.crc32(raw) != crc:
         raise ValueError("snapshot array corrupted (crc mismatch)")
     if dtype_s == "bfloat16":

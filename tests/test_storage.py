@@ -468,3 +468,23 @@ def test_filtered_search():
     # unknown labels in the filter are ignored harmlessly
     d, labels = ix.search(q, k=3, deny_labels=np.array([999999], np.uint64))
     assert labels[0, 0] == 10
+
+
+def test_snapshot_truncation_always_clean_error(small_engine, tmp_path):
+    """Any truncation of a snapshot file raises a clear ValueError (never a
+    raw struct.error) — crash-during-copy / partial-download robustness."""
+    ix, _ = small_engine
+    path = str(tmp_path / "full.ldb")
+    save_snapshot(ix, path)
+    raw = open(path, "rb").read()
+    rng = np.random.default_rng(70)
+    cuts = sorted(set(
+        [3, 7, 8, 20, len(raw) - 1]
+        + [int(x) for x in rng.integers(1, len(raw), size=12)]
+    ))
+    for cut in cuts:
+        p = str(tmp_path / f"cut{cut}.ldb")
+        with open(p, "wb") as f:
+            f.write(raw[:cut])
+        with pytest.raises(ValueError):
+            load_snapshot(p)
