@@ -200,8 +200,14 @@ class Index:
         self._eng.grow(new_cap)  # in-place realloc — no disk round trip
 
     def delete(self, labels: np.ndarray) -> int:
-        """Tombstone by label; no space reclamation (delete.c:24-25 parity)."""
-        n = self._eng.mark_deleted(np.asarray(labels, np.uint64))
+        """Tombstone by label; no space reclamation (delete.c:24-25 parity;
+        compact() reclaims). With a log attached the tombstones are WAL'd
+        (the reference's delete runs under GenericXLog, delete.c:40-70), so
+        deletes survive a crash before the next save()."""
+        labels = np.asarray(labels, np.uint64)
+        n = self._eng.mark_deleted(labels)
+        if self._log is not None:
+            self._log.append_delete(labels)
         self._graph = None
         return n
 
@@ -568,12 +574,31 @@ class Index:
             if os.path.exists(log_path):
                 # the log is truncated on every save(); if a crash landed
                 # between snapshot rename and truncate, the snapshot's
-                # (generation, lsn) filters the already-folded records
-                vecs, labels = InsertLog.replay(
+                # (generation, lsn) filters the already-folded records.
+                # Ops apply IN ORDER (adds batched between tombstones) so
+                # interleaved insert/delete sequences replay faithfully.
+                ops = InsertLog.replay_ops(
                     log_path, width, eng.vectors.dtype, snapshot_state=log_state
                 )
-                if len(vecs):
-                    ix.add(vecs, labels)
+                pend_v, pend_l = [], []
+
+                def _flush():
+                    if pend_v:
+                        ix.add(np.stack(pend_v), np.array(pend_l, np.uint64))
+                        pend_v.clear()
+                        pend_l.clear()
+
+                for op in ops:
+                    if op[0] == "add":
+                        pend_v.append(op[2])
+                        pend_l.append(op[1])
+                    else:
+                        _flush()
+                        ix._eng.mark_deleted(
+                            np.array([op[1]], np.uint64)
+                        )
+                _flush()
+                ix._graph = None
             ix._log = InsertLog(log_path, width, eng.vectors.dtype)
         return ix
 

@@ -33,8 +33,13 @@ HEADER_VERSION = 2
 _HDR_V1_BODY = "<iiiiiiiqqiiiiQ"  # dim..nsub (after magic+version)
 _HDR_V2_EXTRA = "<QQ"  # log_generation, log_lsn
 _LOG_MAGIC = 0xA47E60DC
-_LOG_VERSION = 2  # v2 log header carries a generation id
+_LOG_VERSION = 3  # v2 added a generation id; v3 adds tombstone records
 _LOG_REC_HDR = "<QII"  # label, payload bytes, crc32(payload)
+# a v3 record with this payload-length sentinel (and crc 0) is a DELETE of
+# `label` — the WAL coverage the reference's bulk delete gets from
+# GenericXLog (delete.c:40-70); without it, tombstones set after the last
+# save() vanished on crash
+_DELETE_PLEN = 0xFFFFFFFF
 
 
 def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width,
@@ -302,24 +307,24 @@ class InsertLog:
         if size > 0:
             # adopt the existing generation and count its valid records so
             # the next snapshot records a correct LSN
-            vecs, labels, self.generation, self.count = self._scan(
+            ops, self.generation, self.count, valid_end = self._scan(
                 path, width, self.dtype
             )
-            if self.generation == 0:
-                # v1 log (no generation id) or a v2 header torn before its
-                # generation field: generation 0 reads as "no state" in
-                # replay()'s dedup check, which would re-open the
-                # double-replay crash window — mint a real generation and
-                # rewrite the log as v2, carrying the valid records over
-                self.generation = self._new_generation()
+            # v1/v2 logs (version < 3) adopt by REWRITE so appends use the
+            # v3 record grammar; generation 0 (v1, or a v2 header torn
+            # before its generation field) additionally mints a real id —
+            # generation 0 reads as "no state" in replay()'s dedup check,
+            # which would re-open the double-replay crash window
+            with open(path, "rb") as hf:
+                version = struct.unpack("<II", hf.read(8))[1]
+            if version < 3 or self.generation == 0:
+                if self.generation == 0:
+                    self.generation = self._new_generation()
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
                     self._write_log_header(f, self.generation)
-                    for v, lab in zip(vecs, labels):
-                        raw = np.ascontiguousarray(v, self.dtype).tobytes()
-                        f.write(struct.pack(_LOG_REC_HDR, int(lab),
-                                            len(raw), zlib.crc32(raw)))
-                        f.write(raw)
+                    for op in ops:
+                        f.write(self._pack_record(op))
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(tmp, path)
@@ -329,12 +334,6 @@ class InsertLog:
             # after torn bytes would be unreachable on the next replay
             # (_scan stops at the first bad record), silently dropping
             # fsync-acknowledged inserts
-            with open(path, "rb") as hf:
-                version = struct.unpack("<II", hf.read(8))[1]
-            hdr_len = 16 if version >= 2 else 8
-            valid_end = hdr_len + self.count * (
-                struct.calcsize(_LOG_REC_HDR) + self._payload
-            )
             if os.path.getsize(path) > valid_end:
                 with open(path, "r+b") as tf:
                     tf.truncate(valid_end)
@@ -356,6 +355,13 @@ class InsertLog:
     def _write_log_header(f, generation: int):
         f.write(struct.pack("<IIQ", _LOG_MAGIC, _LOG_VERSION, generation))
 
+    def _pack_record(self, op) -> bytes:
+        if op[0] == "del":
+            return struct.pack(_LOG_REC_HDR, int(op[1]), _DELETE_PLEN, 0)
+        raw = np.ascontiguousarray(op[2], self.dtype).tobytes()
+        return struct.pack(_LOG_REC_HDR, int(op[1]), len(raw),
+                           zlib.crc32(raw)) + raw
+
     def append(self, vecs: np.ndarray, labels: np.ndarray):
         vecs = np.ascontiguousarray(vecs, self.dtype)
         labels = np.asarray(labels, np.uint64)
@@ -365,6 +371,16 @@ class InsertLog:
             # crash site: header written, payload missing -> torn record
             failure_point("insert_log_append", "mid_record")
             self._f.write(raw)
+        self.count += len(labels)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def append_delete(self, labels: np.ndarray):
+        """Log tombstones (the delete leg of the WAL — delete.c:40-70)."""
+        labels = np.atleast_1d(np.asarray(labels, np.uint64))
+        for lab in labels:
+            self._f.write(self._pack_record(("del", int(lab))))
+            failure_point("insert_log_append", "mid_delete_record")
         self.count += len(labels)
         self._f.flush()
         os.fsync(self._f.fileno())
@@ -392,58 +408,76 @@ class InsertLog:
 
     @staticmethod
     def _scan(path: str, width: int, dtype):
-        """Parse a log file -> (vecs, labels, generation, n_valid_records).
+        """Parse a log file -> (ops, generation, n_valid_records, valid_end).
 
-        Tolerates a torn tail record (truncated by CRC). Accepts both v1
-        (no generation) and v2 log headers.
+        ``ops``: in-order list of ``("add", label, vec)`` /
+        ``("del", label)``. Tolerates a torn tail record (truncated by
+        CRC). Accepts v1 (no generation), v2, and v3 (tombstones) headers;
+        ``valid_end`` is the byte offset just past the last valid record
+        (records are variable-size once tombstones exist).
         """
         dtype = np.dtype(dtype)
         payload = width * dtype.itemsize
         hdr = struct.calcsize(_LOG_REC_HDR)
-        vecs, labels = [], []
+        ops = []
         with open(path, "rb") as f:
             magic_ver = f.read(8)
             if len(magic_ver) < 8:
                 # torn header (crash mid-write): nothing could follow it
-                return (np.empty((0, width), dtype), np.empty(0, np.uint64),
-                        0, 0)
+                return [], 0, 0, 0
             if struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
                 raise ValueError("not an insert log")
             version = struct.unpack("<II", magic_ver)[1]
             generation = 0
+            pos = 8
             if version >= 2:
                 gen_bytes = f.read(8)
                 if len(gen_bytes) < 8:
-                    # v2 header torn before its generation field
-                    return (np.empty((0, width), dtype),
-                            np.empty(0, np.uint64), 0, 0)
+                    # v2+ header torn before its generation field
+                    return [], 0, 0, 0
                 (generation,) = struct.unpack("<Q", gen_bytes)
+                pos = 16
+            valid_end = pos
             while True:
                 h = f.read(hdr)
                 if len(h) < hdr:
                     break  # clean EOF or torn header: stop
                 label, plen, crc = struct.unpack(_LOG_REC_HDR, h)
+                if version >= 3 and plen == _DELETE_PLEN and crc == 0:
+                    ops.append(("del", label))
+                    valid_end += hdr
+                    continue
                 raw = f.read(plen)
                 if len(raw) < plen or zlib.crc32(raw) != crc or plen != payload:
                     break  # torn/corrupt tail: discard
-                vecs.append(np.frombuffer(raw, dtype))
-                labels.append(label)
-        if not vecs:
-            return np.empty((0, width), dtype), np.empty(0, np.uint64), generation, 0
-        return np.stack(vecs), np.array(labels, np.uint64), generation, len(labels)
+                ops.append(("add", label, np.frombuffer(raw, dtype)))
+                valid_end += hdr + plen
+        return ops, generation, len(ops), valid_end
 
     @classmethod
-    def replay(cls, path: str, width: int, dtype=np.float32, snapshot_state=None):
-        """Returns (vectors [n, width], labels [n]); tolerates a torn tail.
+    def replay_ops(cls, path: str, width: int, dtype=np.float32,
+                   snapshot_state=None):
+        """In-order op list (adds + deletes); tolerates a torn tail.
 
         ``snapshot_state``: the loading snapshot's (generation, lsn). Records
         already folded into that snapshot (same generation, index < lsn) are
         skipped — closes the crash window between snapshot rename and log
-        truncate where replay would double-insert.
+        truncate where replay would double-apply.
         """
-        vecs, labels, generation, _ = cls._scan(path, width, dtype)
+        ops, generation, _, _ = cls._scan(path, width, dtype)
         if snapshot_state is not None:
             snap_gen, snap_lsn = snapshot_state
             if snap_gen and snap_gen == generation and snap_lsn > 0:
-                vecs, labels = vecs[snap_lsn:], labels[snap_lsn:]
-        return vecs, labels
+                ops = ops[snap_lsn:]
+        return ops
+
+    @classmethod
+    def replay(cls, path: str, width: int, dtype=np.float32, snapshot_state=None):
+        """Adds only -> (vectors [n, width], labels [n]). Use replay_ops
+        when the log may contain tombstone records."""
+        ops = cls.replay_ops(path, width, dtype, snapshot_state)
+        adds = [op for op in ops if op[0] == "add"]
+        if not adds:
+            return np.empty((0, width), np.dtype(dtype)), np.empty(0, np.uint64)
+        return (np.stack([op[2] for op in adds]),
+                np.array([op[1] for op in adds], np.uint64))

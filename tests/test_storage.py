@@ -488,3 +488,34 @@ def test_snapshot_truncation_always_clean_error(small_engine, tmp_path):
             f.write(raw[:cut])
         with pytest.raises(ValueError):
             load_snapshot(p)
+
+
+def test_delete_is_wal_logged(tmp_path):
+    """Tombstones set after the last save() survive a crash via the log
+    (reference: bulk delete runs under GenericXLog, delete.c:40-70) —
+    regression: only inserts were logged, deletes vanished on crash."""
+    rng = np.random.default_rng(71)
+    base = rng.standard_normal((120, 8)).astype(np.float32)
+    log = str(tmp_path / "ix.log")
+    snap = str(tmp_path / "ix.ldb")
+    ix = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=128,
+               log_path=log)
+    ix.add(base[:100])
+    ix.save(snap)
+    ix.add(base[100:110], labels=np.arange(100, 110, dtype=np.uint64))
+    ix.delete(np.array([5, 105], np.uint64))
+    # interleaved: delete then re-use of a different label
+    ix.add(base[110:], labels=np.arange(110, 120, dtype=np.uint64))
+    del ix  # crash: no save()
+
+    ix2 = Index.load(snap, log_path=log)
+    assert ix2.size == 120 and ix2.num_deleted == 2
+    d, labels = ix2.search(base[5], k=3, ef=32)
+    assert 5 not in labels[0].tolist() and 105 not in labels[0].tolist()
+    assert labels.shape == (1, 3)
+    d, labels = ix2.search(base[115], k=1, ef=32)
+    assert labels[0, 0] == 115
+    # a save() folds everything; a fresh load has no log to replay
+    ix2.save(snap)
+    ix3 = Index.load(snap, log_path=log)
+    assert ix3.size == 120 and ix3.num_deleted == 2
