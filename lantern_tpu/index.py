@@ -62,8 +62,41 @@ class Index:
         self._rerank_rows = None  # cached concatenation of the chunks
         self._log = None
         if log_path:
-            self._log = InsertLog(log_path, self._eng.vectors.shape[1],
-                                  self._eng.vectors.dtype)
+            import os
+
+            width = self._eng.vectors.shape[1]
+            dtype = self._eng.vectors.dtype
+            if os.path.exists(log_path) and os.path.getsize(log_path) > 0:
+                # crash BEFORE the first save(): no snapshot exists, the WAL
+                # is the only copy of fsync-acknowledged inserts — replay it
+                # into the fresh engine. (Adopting the log's count without
+                # replaying would stamp those records as folded on the next
+                # save() and truncate() would destroy them.)
+                self._apply_log_ops(
+                    InsertLog.replay_ops(log_path, width, dtype)
+                )
+            self._log = InsertLog(log_path, width, dtype)
+
+    def _apply_log_ops(self, ops):
+        """Apply WAL ops in order (adds batched between tombstones).
+        Caller must ensure self._log is None/detached so nothing re-logs."""
+        pend_v, pend_l = [], []
+
+        def _flush():
+            if pend_v:
+                self.add(np.stack(pend_v), np.array(pend_l, np.uint64))
+                pend_v.clear()
+                pend_l.clear()
+
+        for op in ops:
+            if op[0] == "add":
+                pend_v.append(op[2])
+                pend_l.append(op[1])
+            else:
+                _flush()
+                self._eng.mark_deleted(np.array([op[1]], np.uint64))
+        _flush()
+        self._graph = None
 
     # ---- PQ (create_pq_codebook / quantize_table analog) ----
     def train_pq(self, training_data: np.ndarray, iters: int = 25, seed: int = 0):
@@ -577,28 +610,9 @@ class Index:
                 # (generation, lsn) filters the already-folded records.
                 # Ops apply IN ORDER (adds batched between tombstones) so
                 # interleaved insert/delete sequences replay faithfully.
-                ops = InsertLog.replay_ops(
+                ix._apply_log_ops(InsertLog.replay_ops(
                     log_path, width, eng.vectors.dtype, snapshot_state=log_state
-                )
-                pend_v, pend_l = [], []
-
-                def _flush():
-                    if pend_v:
-                        ix.add(np.stack(pend_v), np.array(pend_l, np.uint64))
-                        pend_v.clear()
-                        pend_l.clear()
-
-                for op in ops:
-                    if op[0] == "add":
-                        pend_v.append(op[2])
-                        pend_l.append(op[1])
-                    else:
-                        _flush()
-                        ix._eng.mark_deleted(
-                            np.array([op[1]], np.uint64)
-                        )
-                _flush()
-                ix._graph = None
+                ))
             ix._log = InsertLog(log_path, width, eng.vectors.dtype)
         return ix
 

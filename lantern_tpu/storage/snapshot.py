@@ -296,7 +296,6 @@ class InsertLog:
         self.path = path
         self.width = width
         self.dtype = np.dtype(dtype)
-        self._payload = self.width * self.dtype.itemsize
         size = os.path.getsize(path) if os.path.exists(path) else 0
         if 0 < size < 8:
             # torn log header (crash during header write): no record can
@@ -428,6 +427,15 @@ class InsertLog:
             if struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
                 raise ValueError("not an insert log")
             version = struct.unpack("<II", magic_ver)[1]
+            if version > _LOG_VERSION:
+                # refuse rather than misparse with the v3 grammar — the
+                # caller's torn-tail truncation would otherwise DESTROY
+                # every record of a future-format log (snapshot headers get
+                # the same 'newer than supported' treatment)
+                raise ValueError(
+                    f"insert log version {version} is newer than supported "
+                    f"{_LOG_VERSION}; please rebuild the index"
+                )
             generation = 0
             pos = 8
             if version >= 2:

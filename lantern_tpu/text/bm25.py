@@ -28,7 +28,7 @@ DEFAULT_APPROX_THRESHOLD = 8000  # bm25_default_approximation_threshhold
 
 @dataclasses.dataclass
 class _Posting:
-    doc_ids: np.ndarray   # [n] int64
+    doc_ids: np.ndarray   # [n] uint64 sorted (labels are arbitrary u64 keys)
     fqs: np.ndarray       # [n] int32
     bloom: Bloom | None   # set for popular terms
 
@@ -48,6 +48,7 @@ class Bm25Index:
         self.doc_lens: dict[int, int] = {}
         self.num_docs = 0
         self.avgdl = 0.0
+        self._dl_cache = None  # (sorted doc ids u64, lengths f32)
 
     def _tokens(self, text: str) -> list[str]:
         if self.stem:
@@ -69,13 +70,15 @@ class Bm25Index:
                 term_docs.setdefault(t, {}).setdefault(doc_id, 0)
                 term_docs[t][doc_id] += 1
         for term, dmap in term_docs.items():
-            new_ids = np.fromiter(dmap.keys(), np.int64, len(dmap))
+            # uint64: doc ids share the vector index's label space (u64
+            # keys, e.g. hashes >= 2**63 — int64 would overflow)
+            new_ids = np.fromiter(dmap.keys(), np.uint64, len(dmap))
             new_fqs = np.fromiter(dmap.values(), np.int64, len(dmap))
             old = self.postings.get(term)
             if old is not None:
                 # vectorized merge — a per-element python loop over a large
                 # existing posting makes repeated batches quadratic
-                new_ids = np.concatenate([old.doc_ids, new_ids])
+                new_ids = np.concatenate([old.doc_ids.astype(np.uint64), new_ids])
                 new_fqs = np.concatenate([old.fqs.astype(np.int64), new_fqs])
             uniq, inv = np.unique(new_ids, return_inverse=True)
             agg = np.zeros(len(uniq), np.int64)
@@ -90,7 +93,22 @@ class Bm25Index:
         self.avgdl = (
             float(np.mean(list(self.doc_lens.values()))) if self.doc_lens else 0.0
         )
+        self._dl_cache = None  # doc lengths changed
         return self
+
+    def _doc_len_arrays(self):
+        """Sorted (doc_ids u64, lengths f32) for vectorized dl lookups —
+        rebuilt once per add_documents, not per query term (a per-element
+        dict loop over each posting costs tens of ms/query at scale; the
+        reference stores doc_lens[] right in the term row)."""
+        if self._dl_cache is None:
+            ids = np.fromiter(self.doc_lens.keys(), np.uint64,
+                              len(self.doc_lens))
+            vals = np.fromiter(self.doc_lens.values(), np.float32,
+                               len(self.doc_lens))
+            order = np.argsort(ids)
+            self._dl_cache = (ids[order], vals[order])
+        return self._dl_cache
 
     # ---- scoring ----
     def _idf(self, df: int) -> float:
@@ -107,7 +125,7 @@ class Bm25Index:
         np.unique aggregate at the end), not a per-element dict loop.
         """
         terms = self._tokens(query)
-        lens = self.doc_lens
+        dl_ids, dl_vals = self._doc_len_arrays()
         id_chunks: list[np.ndarray] = []
         sc_chunks: list[np.ndarray] = []
         for t in set(terms):
@@ -120,17 +138,22 @@ class Bm25Index:
                 # popular-term approximation: fq=1, dl=avgdl -> norm = k1
                 s_const = idf * (self.k1 + 1.0) / (1.0 + self.k1)
                 if doc_ids is not None:
-                    cand = np.asarray(doc_ids, np.int64)
-                    ids = cand[post.bloom.contains(cand.astype(np.uint64))]
+                    cand = np.asarray(doc_ids, np.uint64)
+                    ids = cand[post.bloom.contains(cand)]
                 else:
                     ids = post.doc_ids
-                id_chunks.append(np.asarray(ids, np.int64))
+                id_chunks.append(np.asarray(ids, np.uint64))
                 sc_chunks.append(np.full(len(ids), s_const, np.float64))
                 continue
-            dl = np.array([lens.get(int(d), 0) for d in post.doc_ids], np.float32)
+            # vectorized dl lookup via the sorted doc-length arrays
+            pos = np.searchsorted(dl_ids, post.doc_ids.astype(np.uint64))
+            pos = np.minimum(pos, max(len(dl_ids) - 1, 0))
+            dl = np.where(
+                dl_ids[pos] == post.doc_ids.astype(np.uint64), dl_vals[pos], 0.0
+            ) if len(dl_ids) else np.zeros(len(post.doc_ids), np.float32)
             norm = self.k1 * (1.0 - self.b + self.b * dl / max(self.avgdl, 1e-9))
             s = idf * post.fqs * (self.k1 + 1.0) / (post.fqs + norm)
-            id_chunks.append(np.asarray(post.doc_ids, np.int64))
+            id_chunks.append(np.asarray(post.doc_ids, np.uint64))
             sc_chunks.append(np.asarray(s, np.float64))
         if not id_chunks:
             return {}
@@ -140,9 +163,9 @@ class Bm25Index:
         agg = np.zeros(len(uniq), np.float64)
         np.add.at(agg, inv, sc_cat)
         if doc_ids is not None:
-            keep = np.isin(uniq, np.asarray(doc_ids, np.int64))
+            keep = np.isin(uniq, np.asarray(doc_ids, np.uint64))
             uniq, agg = uniq[keep], agg[keep]
-        return dict(zip(uniq.tolist(), agg.tolist()))
+        return {int(u): float(a) for u, a in zip(uniq.tolist(), agg.tolist())}
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), descending (search_bm25 analog)."""
@@ -151,17 +174,26 @@ class Bm25Index:
 
     # ---- persistence (the reference's table is just rows; same idea) ----
     def save(self, path: str):
+        import os
         import pickle
 
-        with open(path, "wb") as f:
+        # atomic: a crash mid-dump must not destroy the previous good copy
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(self, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "Bm25Index":
         import pickle
 
         with open(path, "rb") as f:
-            return pickle.load(f)
+            ix = pickle.load(f)
+        if not hasattr(ix, "_dl_cache"):  # pickles from before the cache
+            ix._dl_cache = None
+        return ix
 
 
 def create_bm25_table(docs, **kw) -> Bm25Index:

@@ -519,3 +519,42 @@ def test_delete_is_wal_logged(tmp_path):
     ix2.save(snap)
     ix3 = Index.load(snap, log_path=log)
     assert ix3.size == 120 and ix3.num_deleted == 2
+
+
+def test_log_recovers_before_first_save(tmp_path):
+    """Crash before the FIRST save(): the WAL is the only copy of the
+    inserts — re-opening Index(log_path=...) must replay it, not adopt the
+    count and let the next save() truncate the records away."""
+    rng = np.random.default_rng(72)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    log = str(tmp_path / "first.log")
+    ix = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=64,
+               log_path=log)
+    ix.add(base)
+    ix.delete(np.array([3], np.uint64))
+    del ix  # crash: no snapshot exists
+
+    ix2 = Index(HnswParams(dim=8, m=4, ef_construction=16), capacity=64,
+                log_path=log)
+    assert ix2.size == 40 and ix2.num_deleted == 1
+    d, labels = ix2.search(base[5], k=1, ef=16)
+    assert labels[0, 0] == 5
+    # and the records survive a save+truncate+load cycle
+    snap = str(tmp_path / "first.ldb")
+    ix2.save(snap)
+    ix3 = Index.load(snap, log_path=log)
+    assert ix3.size == 40 and ix3.num_deleted == 1
+
+
+def test_log_future_version_refused(tmp_path):
+    import struct as _s
+
+    from lantern_tpu.storage.snapshot import _LOG_MAGIC
+
+    path = str(tmp_path / "v9.log")
+    with open(path, "wb") as f:
+        f.write(_s.pack("<IIQ", _LOG_MAGIC, 9, 42))
+    with pytest.raises(ValueError, match="newer than supported"):
+        InsertLog(path, 8)
+    with pytest.raises(ValueError, match="newer than supported"):
+        InsertLog.replay(path, 8)

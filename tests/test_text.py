@@ -212,3 +212,23 @@ def test_bm25_popular_term_approx_without_candidates():
     post = bm.postings["common"]
     i = int(np.searchsorted(post.doc_ids, 50))
     assert post.doc_ids[i] == 50 and post.fqs[i] == 3
+
+
+def test_bm25_u64_labels_and_atomic_save(tmp_path):
+    """Doc ids share the u64 label space (hashes >= 2**63 must work), and
+    save() is atomic (tmp+fsync+rename)."""
+    from lantern_tpu.text.bm25 import Bm25Index
+
+    big = 2**63 + 5
+    bm = Bm25Index()
+    bm.add_documents({big: "giant hash label", 7: "small label"})
+    r = dict(bm.search("giant hash", k=3))
+    assert big in r
+    path = str(tmp_path / "bm.pkl")
+    bm.save(path)
+    bm2 = Bm25Index.load(path)
+    assert big in dict(bm2.search("giant", k=3))
+    # second save over the existing file still round-trips
+    bm2.add_documents({9: "another"})
+    bm2.save(path)
+    assert 9 in dict(Bm25Index.load(path).search("another", k=2))
