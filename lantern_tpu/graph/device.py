@@ -119,9 +119,21 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
       footprint drops from n*dim*4 to n*S bytes; distances run through ADC
       LUTs in the search kernel.
     """
+    import jax
+
     metric = Metric(host.metric)
     n = host.n
-    vectors = host.vectors[:n]
+    if jax.default_backend() == "cpu" and hasattr(host, "_h"):
+        # NativeHnsw exports are zero-copy views into C++-owned memory; on
+        # the CPU backend jnp.asarray can ALIAS host numpy buffers, so the
+        # DeviceGraph would dangle after engine grow()/free. Copy up front
+        # (TPU backends copy to HBM anyway).
+        def cp(a):
+            return np.array(a, copy=True)
+    else:
+        def cp(a):
+            return a
+    vectors = cp(host.vectors[:n])
     sqn = _sq_norms_np(vectors, metric)
     vec_scales = None
     pq_cb = None
@@ -151,9 +163,11 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
         vectors=vec_dev,
         sq_norms=jnp.asarray(sqn),
         neighbors0=jnp.asarray(nbr0),
-        upper_neighbors=jnp.asarray(host.upper_neighbors[: max(host.n_upper, 1)]),
-        upper_slot=jnp.asarray(host.upper_slot[:n]),
-        levels=jnp.asarray(host.levels[:n]),
+        upper_neighbors=jnp.asarray(
+            cp(host.upper_neighbors[: max(host.n_upper, 1)])
+        ),
+        upper_slot=jnp.asarray(cp(host.upper_slot[:n])),
+        levels=jnp.asarray(cp(host.levels[:n])),
         labels=jnp.asarray(split_labels(host.labels[:n])),
         deleted=jnp.asarray(host.deleted[:n]),
         entry=jnp.asarray(host.entry, jnp.int32),

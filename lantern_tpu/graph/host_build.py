@@ -234,6 +234,9 @@ class HostHnsw:
         if labels is None:
             labels = np.arange(self.n, self.n + len(vecs), dtype=np.uint64)
         labels = np.asarray(labels, np.uint64)
+        if len(labels) != len(vecs):
+            # zip would silently truncate — drop no data
+            raise ValueError(f"{len(labels)} labels for {len(vecs)} vectors")
         self._reserve(self.n + len(vecs))
         for vec, label in zip(vecs, labels):
             self._insert(vec, label)

@@ -37,7 +37,7 @@ from lantern_tpu.config import Metric, SearchParams
 from lantern_tpu.graph.device import DeviceGraph
 from lantern_tpu.ops.distance import _popcount_u32
 
-LMAX = 16  # must match host_build.LMAX
+from lantern_tpu.graph.host_build import LMAX  # noqa: E402 — shared constant
 
 _INF = jnp.inf
 

@@ -231,6 +231,10 @@ class Index:
         while new_cap < need:
             new_cap *= 2
         self._eng.grow(new_cap)  # in-place realloc — no disk round trip
+        # the realloc frees the buffers any cached device mirror may alias
+        # (zero-copy views on the CPU backend) — drop it
+        self._graph = None
+        self._label_sort = None
 
     def delete(self, labels: np.ndarray) -> int:
         """Tombstone by label; no space reclamation (delete.c:24-25 parity;

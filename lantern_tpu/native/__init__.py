@@ -19,7 +19,8 @@ from lantern_tpu.config import HnswParams, Metric
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "hnsw_engine.cpp")
-LMAX = 16
+from lantern_tpu.graph.host_build import LMAX  # single source of truth
+# (hnsw_engine.cpp's LMAX constant must match — asserted at lib build)
 
 
 def _build_lib(sanitize: bool = False) -> str:
@@ -104,6 +105,13 @@ def get_lib() -> ctypes.CDLL:
 
 
 def _as_np(ptr: int, shape, dtype):
+    """Zero-copy view into C++-owned memory.
+
+    LIFETIME CONTRACT: the view dangles after ldb_index_grow (realloc) or
+    engine destruction — consumers must re-fetch the property after grow()
+    and must not outlive the engine. Long-lived consumers (to_device on the
+    CPU backend, where jnp.asarray can alias host memory) copy explicitly.
+    """
     size = int(np.prod(shape))
     buf = (ctypes.c_char * (size * np.dtype(dtype).itemsize)).from_address(ptr)
     return np.frombuffer(buf, dtype=dtype).reshape(shape)
@@ -165,7 +173,7 @@ class NativeHnsw:
     def max_level(self):
         return self._stats()[3]
 
-    # ---- array views (copy-on-read for safety) ----
+    # ---- array views (zero-copy; see _as_np lifetime contract) ----
     def _view(self, name, shape, dtype):
         ptr = getattr(self._lib, name)(self._h)
         return _as_np(ptr, shape, dtype)
@@ -229,6 +237,19 @@ class NativeHnsw:
         n = int(g.num_nodes)
         if n > self._cap:
             raise ValueError(f"graph has {n} nodes > capacity {self._cap}")
+        # layout must match EXACTLY — the C import memcpys at the engine's
+        # width/m0 strides, so a dim/m mismatch is a heap over-read plus a
+        # silently garbled adjacency table, not an error
+        g_width = g.vectors.shape[1]
+        if g_width != self._vec_width:
+            raise ValueError(
+                f"graph vector width {g_width} != engine width "
+                f"{self._vec_width} (dim/quant mismatch)"
+            )
+        if int(g.m) != self.p.m:
+            raise ValueError(f"graph m={int(g.m)} != engine m={self.p.m}")
+        if labels is not None and len(labels) < n:
+            raise ValueError(f"{len(labels)} labels for {n} nodes")
         nb0 = np.ascontiguousarray(np.asarray(g.neighbors0[:n]), np.int32)
         up = np.asarray(g.upper_neighbors)
         slots = np.ascontiguousarray(np.asarray(g.upper_slot[:n]), np.int32)
@@ -266,12 +287,22 @@ class NativeHnsw:
                 f"vector width {vecs.shape[1]} != expected {self._vec_width}"
             )
         if labels is None:
-            labels = np.arange(self.n, self.n + len(vecs), dtype=np.uint64)
-        labels = np.ascontiguousarray(labels, np.uint64)
+            # pass NULL: the engine derives label = row id inside its
+            # atomically reserved range, which stays correct when multiple
+            # host threads add() concurrently (a python-side self.n read
+            # here would race and mint duplicate labels)
+            labels_ptr = None
+        else:
+            labels = np.ascontiguousarray(labels, np.uint64)
+            if len(labels) != len(vecs):
+                raise ValueError(
+                    f"{len(labels)} labels for {len(vecs)} vectors"
+                )
+            labels_ptr = labels.ctypes.data_as(ctypes.c_void_p)
         rc = self._lib.ldb_index_add(
             self._h, len(vecs),
             vecs.ctypes.data_as(ctypes.c_void_p),
-            labels.ctypes.data_as(ctypes.c_void_p),
+            labels_ptr,
             nthreads,
         )
         if rc < 0:
