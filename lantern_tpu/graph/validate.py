@@ -118,6 +118,11 @@ def validate(engine, full: bool = True, min_reachable_frac: float = 0.98) -> Val
     lmax = upper_nbrs.shape[1]
     node_of_slot = np.full(max(n_upper, 1), -1, np.int64)
     node_ids = np.nonzero(has_upper)[0]
+    # out-of-range slots were REPORTED above; exclude them here or the
+    # scatter itself raises IndexError and the validator (a post-crash
+    # diagnostic tool) dies instead of returning ok=False
+    in_range = (upper_slot[node_ids] >= 0) & (upper_slot[node_ids] < n_upper)
+    node_ids = node_ids[in_range]
     node_of_slot[upper_slot[node_ids]] = node_ids
     for lvl in range(1, lmax + 1):
         cnt = upper_counts[:, lvl - 1]

@@ -558,3 +558,22 @@ def test_log_future_version_refused(tmp_path):
         InsertLog(path, 8)
     with pytest.raises(ValueError, match="newer than supported"):
         InsertLog.replay(path, 8)
+
+
+def test_validator_survives_out_of_range_slot():
+    """The validator must REPORT slot corruption, not crash on it."""
+    import copy
+
+    from lantern_tpu.graph.host_build import HostHnsw
+
+    rng = np.random.default_rng(73)
+    base = rng.standard_normal((300, 8)).astype(np.float32)
+    h = HostHnsw(HnswParams(dim=8, m=4, ef_construction=16), seed=1)
+    h.add(base)
+    bad = copy.deepcopy(h)
+    ups = np.nonzero(bad.levels[: bad.n] >= 1)[0]
+    assert len(ups) > 0
+    bad.upper_slot[ups[0]] = bad.n_upper + 99  # corrupt: slot out of range
+    rep = validate(bad)
+    assert not rep.ok
+    assert any("out of range" in e for e in rep.errors)
