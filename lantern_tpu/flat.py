@@ -233,6 +233,7 @@ def flat_search_pq(
     recall_target: float = 0.95,
     block: int = 1 << 19,
     deleted: jax.Array | None = None,
+    rotation: jax.Array | None = None,
 ):
     """Flat ADC scan over PQ codes — decode-on-MXU, then dense scoring.
 
@@ -267,6 +268,8 @@ def flat_search_pq(
     k_out = k
     k = min(k, n)
     qf = queries.astype(jnp.float32)
+    if rotation is not None:  # OPQ: codes live in the rotated space
+        qf = jnp.dot(qf, rotation, preferred_element_type=jnp.float32)
     q_sq = jnp.sum(qf * qf, axis=1)
     cb_flat = codebook_blockdiag(centroids)
     qf_bf = qf.astype(jnp.bfloat16)
@@ -309,6 +312,7 @@ def flat_search_pq_rerank(
     metric: int = int(Metric.L2SQ),
     recall_target: float = 0.95,
     deleted: jax.Array | None = None,
+    rotation: jax.Array | None = None,
 ):
     """Two-stage PQ search: ADC scan shortlist -> exact rerank on full rows.
 
@@ -324,7 +328,7 @@ def flat_search_pq_rerank(
     metric_e = Metric(metric)
     _, ids = flat_search_pq(
         codes, centroids, queries, k=shortlist, metric=metric,
-        recall_target=recall_target, deleted=deleted,
+        recall_target=recall_target, deleted=deleted, rotation=rotation,
     )
     safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
     rows = vectors[safe].astype(jnp.float32)      # [Q, L, d]
@@ -332,7 +336,10 @@ def flat_search_pq_rerank(
     dots = jnp.einsum("qd,qld->ql", qf, rows, preferred_element_type=jnp.float32)
     x_sq = sq_norms[safe]
     if metric_e == Metric.L2SQ:
-        d = jnp.sum(qf * qf, axis=1)[:, None] - 2.0 * dots + x_sq
+        # clamp: bf16 rerank rows can round a self-match fractionally negative
+        d = jnp.maximum(
+            jnp.sum(qf * qf, axis=1)[:, None] - 2.0 * dots + x_sq, 0.0
+        )
     else:
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=1))[:, None]
         d = 1.0 - dots / jnp.maximum(qn * jnp.sqrt(x_sq), 1e-30)
@@ -349,6 +356,60 @@ def flat_search_pq_rerank(
         jnp.where(jnp.isfinite(out_d), out_i, -1),
         k,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "shortlist", "recall_target")
+)
+def flat_search_graph_rerank(
+    graph,
+    rerank_rows: jax.Array,  # [n, d] bf16/f32 full-precision rows (HBM copy)
+    rerank_sqn: jax.Array,   # [n] f32
+    queries: jax.Array,      # [Q, d] f32
+    k: int = 10,
+    shortlist: int = 100,
+    recall_target: float = 0.95,
+    exclude: jax.Array | None = None,
+):
+    """Two-stage PQ search over a DeviceGraph, rerank ON DEVICE, one dispatch.
+
+    ADC shortlist over the graph's codes, then exact re-score against a
+    device-resident row table (bf16 halves the HBM cost of the copy; the
+    returned distances are true metric distances to bf16 precision). The
+    whole pipeline — ADC scan, shortlist row gather, rescoring einsum,
+    final sort — is one jitted program, so a query batch pays one tunnel
+    dispatch instead of a host round-trip between the stages.
+    Returns (dists [Q,k], ids [Q,k], labels [Q,k,2]) like flat_search_graph.
+    """
+    from lantern_tpu.graph.device import QUANT_PQ
+
+    if graph.quant != QUANT_PQ:
+        raise ValueError("flat_search_graph_rerank serves PQ graphs only")
+    excluded = jnp.logical_or(
+        graph.deleted,
+        jnp.arange(graph.cap, dtype=jnp.int32) >= graph.num_nodes,
+    )
+    if exclude is not None:
+        excluded = jnp.logical_or(excluded, exclude)
+    d, ids = flat_search_pq_rerank(
+        graph.vectors[: graph.cap],
+        graph.pq_codebook,
+        rerank_rows,
+        rerank_sqn,
+        queries,
+        k=k,
+        shortlist=shortlist,
+        metric=graph.metric,
+        recall_target=recall_target,
+        deleted=excluded,
+        rotation=graph.pq_rotation,
+    )
+    labels = jnp.where(
+        (ids >= 0)[:, :, None],
+        graph.labels[jnp.clip(ids, 0, graph.cap - 1)],
+        jnp.uint32(0),
+    )
+    return d, ids, labels
 
 
 def _pad_k(d, ids, k_out: int):
@@ -394,6 +455,7 @@ def flat_search_graph(graph, queries, k: int = 10, exact: bool = False,
             exact=exact,
             recall_target=recall_target,
             deleted=excluded,
+            rotation=graph.pq_rotation,
         )
         labels = jnp.where(
             (ids >= 0)[:, :, None],

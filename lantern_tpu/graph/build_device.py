@@ -643,6 +643,7 @@ def device_insert(
     # i8/PQ and idempotent for bf16
     restore_quant = None
     pq_cb = None
+    pq_rot = None
     if graph.quant == QUANT_PQ:
         # decode codes -> f32 view. The decoded (centroid) rows ARE the
         # stored geometry the ADC search measures, so building over them is
@@ -655,15 +656,20 @@ def device_insert(
 
         restore_quant = "pq"
         pq_cb = graph.pq_codebook  # [S, K, dsub]
+        pq_rot = graph.pq_rotation  # OPQ rotation (or None)
         s_pq, _, dsub = pq_cb.shape
         codes = graph.vectors  # [cap, S] uint8
+        # the decoded view stays in the ROTATED space (same geometry —
+        # rotation is an isometry); incoming vectors are rotated+snapped
+        # below, and the final re-encode therefore needs no rotation
         dec = pq_cb[jnp.arange(s_pq)[None, :], codes.astype(jnp.int32)]
         graph = graph.replace(
             vectors=dec.reshape(codes.shape[0], s_pq * dsub),
             pq_codebook=None,
+            pq_rotation=None,
         )
         codes_new = _encode_jit(
-            jnp.asarray(np.asarray(vectors), jnp.float32), pq_cb
+            jnp.asarray(np.asarray(vectors), jnp.float32), pq_cb, pq_rot
         )
         dec_new = pq_cb[jnp.arange(s_pq)[None, :], codes_new.astype(jnp.int32)]
         vectors = np.asarray(dec_new.reshape(codes_new.shape[0], s_pq * dsub))
@@ -829,6 +835,7 @@ def device_insert(
         m=m, dim=graph.dim, metric=int(metric), quant=graph.quant,
         vec_scales=out_scales,
         pq_codebook=pq_cb,
+        pq_rotation=pq_rot,
         use_pallas=graph.use_pallas,
     )
 

@@ -50,6 +50,9 @@ class DeviceGraph:
     # quantization payloads (None when unused)
     vec_scales: jax.Array | None = None   # [cap] f32 per-vector i8 scales
     pq_codebook: jax.Array | None = None  # [S, K, dsub] f32
+    # OPQ rotation [dim, dim] (codes/centroids live in the rotated space;
+    # searches rotate the query once — see quant/pq.PQCodebook)
+    pq_rotation: jax.Array | None = None
     # upper_ids[slot] = node id (-1 for the dummy/blank slots): the inverse
     # of upper_slot, kept so search can score ALL upper-level nodes with one
     # dense MXU scan instead of a serialized greedy descent (profiled 101 ms
@@ -137,6 +140,7 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
     sqn = _sq_norms_np(vectors, metric)
     vec_scales = None
     pq_cb = None
+    pq_rot = None
     eff_quant = int(quant) if quant is not None else int(QuantKind.F32)
     if pq_codebook is not None:
         from lantern_tpu.quant.pq import pq_encode
@@ -145,6 +149,8 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
         codes = pq_encode(vectors, pq_codebook)  # [n, S] uint8
         vec_dev = jnp.asarray(codes)
         pq_cb = jnp.asarray(pq_codebook.centroids)
+        if pq_codebook.rotation is not None:
+            pq_rot = jnp.asarray(pq_codebook.rotation, jnp.float32)
     elif eff_quant == int(QuantKind.I8):
         from lantern_tpu.quant.scalar import quantize_i8
 
@@ -175,6 +181,7 @@ def to_device(host, dtype=None, quant: QuantKind | int | None = None,
         num_nodes=jnp.asarray(n, jnp.int32),
         vec_scales=vec_scales,
         pq_codebook=pq_cb,
+        pq_rotation=pq_rot,
         upper_ids=jnp.asarray(
             upper_ids_from_slots(host.upper_slot[:n], max(host.n_upper, 1))
         ),

@@ -132,6 +132,7 @@ def reorder_bfs(graph: DeviceGraph) -> DeviceGraph:
             if graph.upper_ids is not None else None
         ),
         pq_codebook=graph.pq_codebook,
+        pq_rotation=graph.pq_rotation,
         m=graph.m,
         dim=graph.dim,
         metric=graph.metric,

@@ -289,6 +289,15 @@ def search_batched(
     c = expand * m0
 
     metric = Metric(graph.metric)
+    from lantern_tpu.graph.device import QUANT_PQ
+    if graph.quant == QUANT_PQ and graph.pq_rotation is not None:
+        # OPQ: codes/centroids live in the rotated space — rotate the query
+        # ONCE here; every downstream distance (LUT, upper entry scan) then
+        # operates in that space. Distances are preserved (R is orthogonal).
+        queries = jnp.dot(
+            queries.astype(jnp.float32), graph.pq_rotation,
+            preferred_element_type=jnp.float32,
+        )
     if metric == Metric.HAMMING:
         q_sq = jnp.zeros((q,), jnp.float32)
     else:
@@ -296,7 +305,6 @@ def search_batched(
         q_sq = jnp.sum(qf * qf, axis=1)
 
     lut = None
-    from lantern_tpu.graph.device import QUANT_PQ
     if graph.quant == QUANT_PQ:
         from lantern_tpu.quant.pq import adc_lut
         lut = adc_lut(queries, graph.pq_codebook, metric)

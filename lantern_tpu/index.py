@@ -60,6 +60,7 @@ class Index:
         self._keep_raw = keep_raw
         self._rerank_chunks: list[np.ndarray] = []
         self._rerank_rows = None  # cached concatenation of the chunks
+        self._rerank_dev = None  # cached device (bf16 rows, f32 sq_norms)
         self._log = None
         if log_path:
             import os
@@ -99,8 +100,13 @@ class Index:
         self._graph = None
 
     # ---- PQ (create_pq_codebook / quantize_table analog) ----
-    def train_pq(self, training_data: np.ndarray, iters: int = 25, seed: int = 0):
-        """Train the PQ codebook (required before add when params.pq)."""
+    def train_pq(self, training_data: np.ndarray, iters: int = 25, seed: int = 0,
+                 rotate: bool = False, opq_iters: int = 16):
+        """Train the PQ codebook (required before add when params.pq).
+
+        ``rotate=True`` learns an OPQ rotation jointly (same code bytes,
+        lower quantization error on correlated data — quant/pq.PQCodebook).
+        """
         if not self.params.pq:
             raise ValueError("index was not created with pq=True")
         from lantern_tpu.quant.pq import train_codebook
@@ -111,6 +117,8 @@ class Index:
             num_centroids=self.params.num_centroids,
             iters=iters,
             seed=seed,
+            rotate=rotate,
+            opq_iters=opq_iters,
         )
         return self._codebook
 
@@ -190,6 +198,7 @@ class Index:
         if raw is not None:
             self._rerank_chunks.append(raw)
             self._rerank_rows = None  # invalidate the cached concat
+            self._rerank_dev = None
         self._graph = None
         return self
 
@@ -205,6 +214,7 @@ class Index:
             )
         self._rerank_chunks = [rows]
         self._rerank_rows = rows
+        self._rerank_dev = None
         return self
 
     @property
@@ -288,9 +298,10 @@ class Index:
         (the planner's seq-scan-vs-index choice, hnsw.c:150-209 analog).
 
         ``rerank``: PQ indexes only — retrieve a shortlist of this size by
-        ADC scan, then exactly re-score it on the host against the
-        full-precision rows (captured at add() or via set_rerank_source).
-        Recovers full-precision recall at code-bytes HBM cost.
+        ADC scan, then re-score it on DEVICE against a bf16 HBM copy of the
+        full-precision rows (captured at add() or via set_rerank_source),
+        all in one dispatch. Recovers full-precision recall (to bf16
+        rounding) at code-bytes scan cost.
 
         ``with_stats=True`` appends a stats dict describing the executed
         plan — the ``lantern.masked_explain`` analog (lantern.sql:858-901):
@@ -373,9 +384,19 @@ class Index:
 
     def _search_rerank(self, q, k: int, shortlist: int, recall_target: float,
                        exclude=None):
-        """ADC-shortlist flat scan + exact host rerank (see search)."""
+        """ADC-shortlist flat scan + exact rerank ON DEVICE (see search).
+
+        The full-precision rows are cached in HBM as bf16 (half the f32
+        copy; returned distances are true metric distances to bf16
+        precision), and the shortlist gather + rescoring einsum run in the
+        same jitted program as the ADC scan — one dispatch per query batch
+        instead of a host round-trip between the stages.
+        """
         if not self.params.pq:
             raise ValueError("rerank= applies to PQ indexes only")
+        metric = Metric(self.params.metric)
+        if metric not in (Metric.L2SQ, Metric.COS):
+            raise ValueError("rerank supports l2sq/cos")
         rows = self._raw_rows
         if rows is None:
             raise ValueError(
@@ -391,37 +412,23 @@ class Index:
                 f"{self.size}; supply the full slot-aligned rows via "
                 "set_rerank_source()"
             )
-        from lantern_tpu.flat import flat_search_graph
+        import jax.numpy as jnp
 
-        _, ids, labels = flat_search_graph(
-            self.device_graph, q, k=max(shortlist, k),
-            recall_target=recall_target, exclude=exclude,
-        )
-        ids = np.asarray(ids)
-        labs = join_labels(np.asarray(labels))
-        qf = np.asarray(q, np.float32)
-        cand = rows[np.clip(ids, 0, len(rows) - 1)]       # [Q, L, d]
-        metric = Metric(self.params.metric)
-        if metric == Metric.L2SQ:
-            dd = ((cand - qf[:, None, :]) ** 2).sum(-1)
-        elif metric == Metric.COS:
-            num = np.einsum("qld,qd->ql", cand, qf)
-            den = np.linalg.norm(cand, axis=-1) * np.maximum(
-                np.linalg.norm(qf, axis=-1)[:, None], 1e-30
+        from lantern_tpu.flat import flat_search_graph_rerank
+
+        if self._rerank_dev is None or self._rerank_dev[0].shape[0] != len(rows):
+            self._rerank_dev = (
+                jnp.asarray(rows, jnp.bfloat16),
+                jnp.asarray(
+                    np.einsum("nd,nd->n", rows, rows).astype(np.float32)
+                ),
             )
-            dd = 1.0 - num / np.maximum(den, 1e-30)
-        else:
-            raise ValueError("rerank supports l2sq/cos")
-        dd = np.where(ids >= 0, dd, np.inf)
-        sel = np.argsort(dd, axis=1)[:, :k]
-        out_d = np.take_along_axis(dd, sel, axis=1).astype(np.float32)
-        out_l = np.take_along_axis(labs, sel, axis=1)
-        out_l = np.where(np.isfinite(out_d), out_l, 0)
-        pad = k - out_d.shape[1]
-        if pad > 0:
-            out_d = np.pad(out_d, ((0, 0), (0, pad)), constant_values=np.inf)
-            out_l = np.pad(out_l, ((0, 0), (0, pad)))
-        return out_d, out_l
+        d, _, labels = flat_search_graph_rerank(
+            self.device_graph, *self._rerank_dev, q, k=k,
+            shortlist=max(shortlist, k), recall_target=recall_target,
+            exclude=exclude,
+        )
+        return np.asarray(d), join_labels(np.asarray(labels))
 
     def search_streaming(self, query: np.ndarray, ef: int | None = None,
                          init_k: int = 10):
@@ -551,6 +558,7 @@ class Index:
             rows = self._raw_rows[live] if len(self._raw_rows) == n else None
             self._rerank_chunks = [rows] if rows is not None else []
             self._rerank_rows = rows
+            self._rerank_dev = None
         return self
 
     def reindex(self, params: HnswParams, build: str = "host", **kw) -> "Index":
@@ -568,7 +576,7 @@ class Index:
 
     # ---- persistence ----
     def save(self, path: str):
-        cb = self._codebook.centroids if self._codebook is not None else None
+        cb = self._codebook  # PQCodebook (rotation persisted too) or None
         # the snapshot records which log records it folds in (generation +
         # lsn) so a crash before the truncate below can't replay them twice
         log_state = self._log.state if self._log is not None else None
@@ -599,10 +607,9 @@ class Index:
         ix._keep_raw = True
         ix._rerank_chunks = []
         ix._rerank_rows = None
+        ix._rerank_dev = None
         if cb is not None:
-            from lantern_tpu.quant.pq import PQCodebook
-
-            ix._codebook = PQCodebook(centroids=cb)
+            ix._codebook = cb  # load_snapshot returns a PQCodebook
         ix._log = None
         if log_path:
             import os

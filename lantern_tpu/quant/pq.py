@@ -27,9 +27,21 @@ from lantern_tpu.config import Metric
 
 @dataclasses.dataclass(frozen=True)
 class PQCodebook:
-    """Trained codebook: centroids [S, K, dsub] float32."""
+    """Trained codebook: centroids [S, K, dsub] float32.
+
+    ``rotation`` (optional, OPQ): an orthogonal [dim, dim] matrix learned so
+    the rotated data quantizes with lower error (Optimized Product
+    Quantization: alternate k-means with an orthogonal Procrustes update).
+    When set, codes/centroids live in the ROTATED space; encode applies R,
+    decode applies R^T, and searches rotate the query once (distances are
+    preserved exactly — R is an isometry). The reference trains plain
+    per-subvector k-means only (product_quantization.c:40-192,
+    codebook.rs:248-278); the rotation is a quality improvement over it at
+    identical code bytes and search cost.
+    """
 
     centroids: np.ndarray
+    rotation: np.ndarray | None = None
 
     @property
     def num_subvectors(self) -> int:
@@ -85,28 +97,112 @@ def _train_jit(data, seed, num_subvectors, num_centroids, iters):
     return jax.vmap(_kmeans_one_subspace, in_axes=(0, 0, None))(xs, init, iters)
 
 
+def _assign_decode(xr, cent):
+    """Encode+decode in one shot: xr [n, dim] (rotated space) -> [n, dim].
+
+    lax.scan over subspaces bounds the one-hot intermediate at [n, K]
+    (a flat [n, S, K] would be GBs at training-set scale); the decode is a
+    gather-free one-hot contraction on the MXU.
+    """
+    n, dim = xr.shape
+    s, k, dsub = cent.shape
+    xs = xr.reshape(n, s, dsub).transpose(1, 0, 2)  # [S, n, dsub]
+
+    def one(carry, sc):
+        x, c = sc  # [n, dsub], [K, dsub]
+        c_sq = jnp.sum(c * c, axis=1)
+        dots = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+        oh = jax.nn.one_hot(jnp.argmin(c_sq[None] - 2.0 * dots, axis=1),
+                            k, dtype=jnp.bfloat16)
+        dec = jnp.dot(oh, c.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return carry, dec  # [n, dsub]
+
+    _, decs = jax.lax.scan(one, 0, (xs, cent))
+    return decs.transpose(1, 0, 2).reshape(n, dim)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_subvectors", "num_centroids", "iters", "opq_iters"),
+)
+def _train_opq_jit(data, seed, num_subvectors, num_centroids, iters, opq_iters):
+    """OPQ: alternate per-subspace k-means with an orthogonal Procrustes
+    update of the rotation (Ge et al., OPQ non-parametric solution):
+
+        min_{R orthogonal, C} ||X R - decode(encode(X R; C); C)||_F^2
+
+    Each outer step: (a) a few Lloyd iterations on X R warm-started from the
+    previous centroids, (b) Y = decode(encode(X R)), (c) R <- U V^T from the
+    SVD of X^T Y. All on-device; the SVD is [dim, dim] (tiny).
+    """
+    n, dim = data.shape
+    dsub = dim // num_subvectors
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.choice(key, n, shape=(num_centroids,), replace=n < num_centroids)
+    xs0 = data.reshape(n, num_subvectors, dsub).transpose(1, 0, 2)
+    cent0 = xs0[:, idx, :]  # [S, K, dsub] — R starts at identity
+    inner = 4  # Lloyd iterations per alternation
+
+    def step(carry, _):
+        rot, cent = carry
+        xr = jnp.dot(data, rot, preferred_element_type=jnp.float32)
+        xs = xr.reshape(n, num_subvectors, dsub).transpose(1, 0, 2)
+        cent = jax.vmap(_kmeans_one_subspace, in_axes=(0, 0, None))(
+            xs, cent, inner
+        )
+        y = _assign_decode(xr, cent)  # [n, dim] reconstruction (rotated space)
+        mat = jnp.dot(data.T, y, preferred_element_type=jnp.float32)
+        u, _, vt = jnp.linalg.svd(mat, full_matrices=False)
+        return (jnp.dot(u, vt), cent), None
+
+    rot0 = jnp.eye(dim, dtype=jnp.float32)
+    (rot, cent), _ = jax.lax.scan(step, (rot0, cent0), None, length=opq_iters)
+    # polish: full Lloyd pass at the final rotation
+    xr = jnp.dot(data, rot, preferred_element_type=jnp.float32)
+    xs = xr.reshape(n, num_subvectors, dsub).transpose(1, 0, 2)
+    cent = jax.vmap(_kmeans_one_subspace, in_axes=(0, 0, None))(xs, cent, iters)
+    return cent, rot
+
+
 def train_codebook(
     data: np.ndarray,
     num_subvectors: int,
     num_centroids: int = 256,
     iters: int = 25,
     seed: int = 0,
+    rotate: bool = False,
+    opq_iters: int = 16,
 ) -> PQCodebook:
-    """Train a PQ codebook with per-subspace k-means (vmapped on device)."""
+    """Train a PQ codebook with per-subspace k-means (vmapped on device).
+
+    ``rotate=True`` learns an OPQ rotation jointly (see PQCodebook.rotation)
+    — same code bytes and search cost, lower quantization error on data with
+    correlated dimensions (clustered/real embeddings; isotropic gaussian
+    data gains nothing by symmetry).
+    """
     data = np.asarray(data, np.float32)
     n, dim = data.shape
     if dim % num_subvectors:
         raise ValueError(f"dim {dim} not divisible by num_subvectors {num_subvectors}")
     if num_centroids > 256:
         raise ValueError("codes are uint8; num_centroids must be <= 256")
+    if rotate:
+        cent, rot = _train_opq_jit(
+            jnp.asarray(data), seed, num_subvectors, num_centroids, iters,
+            opq_iters,
+        )
+        return PQCodebook(centroids=np.asarray(cent), rotation=np.asarray(rot))
     cent = _train_jit(jnp.asarray(data), seed, num_subvectors, num_centroids, iters)
     return PQCodebook(centroids=np.asarray(cent))
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _encode_jit(data, centroids):
+def _encode_jit(data, centroids, rotation=None):
     n, dim = data.shape
     s, k, dsub = centroids.shape
+    if rotation is not None:
+        data = jnp.dot(data, rotation, preferred_element_type=jnp.float32)
     xs = data.reshape(n, s, dsub)
     c_sq = jnp.sum(centroids * centroids, axis=2)  # [S, K]
     dots = jnp.einsum("nsd,skd->nsk", xs, centroids, preferred_element_type=jnp.float32)
@@ -114,18 +210,28 @@ def _encode_jit(data, centroids):
 
 
 def pq_encode(data, codebook: PQCodebook) -> np.ndarray:
-    """Vectors [n, dim] -> codes [n, S] uint8 (the pqvec payload)."""
+    """Vectors [n, dim] -> codes [n, S] uint8 (the pqvec payload).
+
+    With an OPQ rotation the data is rotated first (codes live in the
+    rotated space)."""
+    rot = (jnp.asarray(codebook.rotation, jnp.float32)
+           if codebook.rotation is not None else None)
     return np.asarray(_encode_jit(jnp.asarray(data, jnp.float32),
-                                  jnp.asarray(codebook.centroids)))
+                                  jnp.asarray(codebook.centroids), rot))
 
 
 def pq_decode(codes, codebook: PQCodebook) -> np.ndarray:
-    """Codes [n, S] -> reconstructed vectors [n, dim] (dequantize_vector)."""
+    """Codes [n, S] -> reconstructed vectors [n, dim] (dequantize_vector).
+
+    Reconstruction returns to the ORIGINAL space (rotation undone)."""
     codes = np.asarray(codes)
     cent = codebook.centroids  # [S, K, dsub]
     n, s = codes.shape
     out = cent[np.arange(s)[None, :], codes]  # [n, S, dsub]
-    return out.reshape(n, s * cent.shape[2]).astype(np.float32)
+    out = out.reshape(n, s * cent.shape[2]).astype(np.float32)
+    if codebook.rotation is not None:
+        out = out @ np.asarray(codebook.rotation, np.float32).T
+    return out
 
 
 def adc_lut(queries: jax.Array, centroids: jax.Array, metric: Metric) -> jax.Array:

@@ -29,9 +29,10 @@ from lantern_tpu.config import HnswParams, Metric, QuantKind
 from lantern_tpu.utils.failpoints import failure_point
 
 HEADER_MAGIC = 0xA47E60DB  # same magic as the reference header page
-HEADER_VERSION = 2
+HEADER_VERSION = 3
 _HDR_V1_BODY = "<iiiiiiiqqiiiiQ"  # dim..nsub (after magic+version)
 _HDR_V2_EXTRA = "<QQ"  # log_generation, log_lsn
+_HDR_V3_EXTRA = "<I"  # has_rotation: an OPQ rotation array follows the codebook
 _LOG_MAGIC = 0xA47E60DC
 _LOG_VERSION = 3  # v2 added a generation id; v3 adds tombstone records
 _LOG_REC_HDR = "<QII"  # label, payload bytes, crc32(payload)
@@ -43,7 +44,8 @@ _DELETE_PLEN = 0xFFFFFFFF
 
 
 def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width,
-                 log_generation: int = 0, log_lsn: int = 0) -> bytes:
+                 log_generation: int = 0, log_lsn: int = 0,
+                 has_rotation: bool = False) -> bytes:
     return struct.pack("<II", HEADER_MAGIC, HEADER_VERSION) + struct.pack(
         _HDR_V1_BODY,
         p.dim,
@@ -60,7 +62,9 @@ def _pack_header(p: HnswParams, n, n_upper, entry, max_level, width,
         int(p.pq),
         p.num_centroids if p.pq else 0,
         p.effective_num_subvectors if p.pq else 0,
-    ) + struct.pack(_HDR_V2_EXTRA, log_generation, log_lsn)
+    ) + struct.pack(_HDR_V2_EXTRA, log_generation, log_lsn) + struct.pack(
+        _HDR_V3_EXTRA, int(has_rotation)
+    )
 
 
 def _read_header(f):
@@ -70,7 +74,7 @@ def _read_header(f):
     magic, version = struct.unpack("<II", _read_exactly(f, 8))
     if magic != HEADER_MAGIC:
         raise ValueError(f"not a lantern-tpu snapshot (magic {magic:#x})")
-    if version not in (1, 2):
+    if version not in (1, 2, 3):
         raise ValueError(
             f"snapshot version {version} is newer than supported "
             f"{HEADER_VERSION}; please rebuild the index"
@@ -87,6 +91,12 @@ def _read_header(f):
         )
     else:  # v1 -> v2 upgrade: no log bookkeeping existed; replay everything
         log_generation, log_lsn = 0, 0
+    if version >= 3:  # v3: OPQ rotation flag
+        (has_rotation,) = struct.unpack(
+            _HDR_V3_EXTRA, _read_exactly(f, struct.calcsize(_HDR_V3_EXTRA))
+        )
+    else:
+        has_rotation = 0
     params = HnswParams(
         dim=dim,
         m=m,
@@ -98,7 +108,8 @@ def _read_header(f):
         num_centroids=ncent or 256,
         num_subvectors=nsub,
     )
-    return params, width, n, n_upper, entry, max_level, log_generation, log_lsn
+    return (params, width, n, n_upper, entry, max_level, log_generation,
+            log_lsn, bool(has_rotation))
 
 
 def _write_arr(f, arr: np.ndarray):
@@ -157,9 +168,10 @@ _ARRAYS = (
 def save_snapshot(engine, path: str, pq_codebook=None, log_state=None):
     """Persist a Host/Native HNSW engine. Atomic via fsync + rename.
 
-    ``pq_codebook``: centroid array [S, K, dsub] persisted with the index
-    when params.pq (the reference persists its codebook as a read-only SQL
-    table guarded by a trigger, lantern.sql:244-250).
+    ``pq_codebook``: a quant.pq.PQCodebook (rotation persisted too) or a raw
+    centroid array [S, K, dsub], persisted with the index when params.pq
+    (the reference persists its codebook as a read-only SQL table guarded by
+    a trigger, lantern.sql:244-250).
 
     ``log_state``: (generation, lsn) of the InsertLog whose records are
     already folded into this engine — recorded in the header so a crash
@@ -170,11 +182,16 @@ def save_snapshot(engine, path: str, pq_codebook=None, log_state=None):
     width = engine.vectors.shape[1]
     if engine.p.pq and pq_codebook is None:
         raise ValueError("pq index snapshot requires its codebook")
+    rotation = None
+    if pq_codebook is not None and hasattr(pq_codebook, "centroids"):
+        rotation = pq_codebook.rotation
+        pq_codebook = pq_codebook.centroids
     log_generation, log_lsn = log_state if log_state else (0, 0)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(_pack_header(engine.p, n, n_upper, engine.entry, engine.max_level,
-                             width, log_generation, log_lsn))
+                             width, log_generation, log_lsn,
+                             has_rotation=rotation is not None))
         _write_arr(f, engine.vectors[:n])
         _write_arr(f, engine.neighbors0[:n])
         _write_arr(f, engine.counts0[:n])
@@ -186,6 +203,8 @@ def save_snapshot(engine, path: str, pq_codebook=None, log_state=None):
         _write_arr(f, engine.deleted[:n].astype(np.uint8))
         if engine.p.pq:
             _write_arr(f, np.asarray(pq_codebook, np.float32))
+            if rotation is not None:
+                _write_arr(f, np.asarray(rotation, np.float32))
         # crash site: everything written but not yet visible (failure_point.h idiom)
         failure_point("save_snapshot", "before_rename")
         f.flush()
@@ -209,14 +228,20 @@ def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0,
                   return_codebook: bool = False, return_log_state: bool = False):
     """Load a snapshot into a fresh engine (native C++ or python).
 
-    With ``return_codebook=True`` returns (engine, codebook-or-None);
+    With ``return_codebook=True`` returns (engine, PQCodebook-or-None);
     ``return_log_state=True`` appends the header's (log_generation, log_lsn).
     """
     with open(path, "rb") as f:
         (params, width, n, n_upper, entry, max_level,
-         log_generation, log_lsn) = _read_header(f)
+         log_generation, log_lsn, has_rotation) = _read_header(f)
         arrs = {name: _read_arr(f) for name in _ARRAYS}
-        codebook = _read_arr(f) if params.pq else None
+        codebook = None
+        if params.pq:
+            from lantern_tpu.quant.pq import PQCodebook
+
+            cent = _read_arr(f)
+            rot = _read_arr(f) if has_rotation else None
+            codebook = PQCodebook(centroids=cent, rotation=rot)
 
     def _ret(ix):
         out = (ix,)

@@ -443,9 +443,10 @@ def test_http_pq_requantize_and_rerank(api, rng):
                      {"vector": vecs[7].tolist(), "k": 3, "rerank": 50},
                      timeout=120)
     assert code == 200
-    # exact rerank must surface the true nearest row first
+    # exact rerank must surface the true nearest row first (distance is
+    # true-to-bf16: the device rerank copy stores rows as bf16)
     assert res["results"][0]["i"] == 7
-    assert res["results"][0]["distance"] < 1e-3
+    assert res["results"][0]["distance"] < 0.05
 
 
 def test_http_external_index_rebuild(api, rng):

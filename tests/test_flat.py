@@ -167,7 +167,7 @@ def test_flat_pq_deleted_and_index_dispatch(rng):
 
 
 def test_index_pq_rerank_facade(rng):
-    """Index.search(rerank=L): ADC shortlist + exact host rerank."""
+    """Index.search(rerank=L): ADC shortlist + device rerank (bf16 rows)."""
     from lantern_tpu import HnswParams, Index
 
     base = rng.standard_normal((1200, 64)).astype(np.float32)
@@ -187,10 +187,10 @@ def test_index_pq_rerank_facade(rng):
     assert rec(l_rr) >= rec(l_raw)
     assert rec(l_rr) >= 0.8
     # reranked distances are true l2sq of the returned labels (labels are
-    # row ids here)
+    # row ids here), to the bf16 precision of the device rerank copy
     r0 = np.asarray(l_rr)[0].astype(np.int64)
     expect = ((base[r0] - q[0]) ** 2).sum(1)
-    np.testing.assert_allclose(d_rr[0], expect, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(d_rr[0], expect, rtol=1e-2, atol=1e-2)
     # deleted rows never come back reranked
     ix.delete(np.arange(20))
     _, l2 = ix.search(q, k=10, rerank=100)

@@ -187,3 +187,104 @@ def test_adc_big_q_path_equivalent(rng):
     d_big = pq_mod._adc_distances_scan(lut, codes3)
     np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_big),
                                rtol=2e-2, atol=2e-2)
+
+
+# ---- OPQ (learned rotation) -------------------------------------------------
+
+
+def _correlated_data(rng, n=1500, dim=32):
+    """Data whose subspace energies are unbalanced + dims correlated — the
+    regime where a learned rotation beats plain per-subspace k-means."""
+    z = rng.standard_normal((n, dim)).astype(np.float32)
+    scales = np.linspace(4.0, 0.1, dim).astype(np.float32)  # anisotropic
+    mix = rng.standard_normal((dim, dim)).astype(np.float32)  # correlate dims
+    qmix, _ = np.linalg.qr(mix)
+    return (z * scales) @ qmix.astype(np.float32)
+
+
+def test_opq_rotation_is_orthogonal_and_roundtrips(rng):
+    x = _correlated_data(rng, n=800, dim=32)
+    cb = train_codebook(x, num_subvectors=8, num_centroids=16, iters=10,
+                        rotate=True, opq_iters=6)
+    assert cb.rotation is not None and cb.rotation.shape == (32, 32)
+    eye = cb.rotation @ cb.rotation.T
+    np.testing.assert_allclose(eye, np.eye(32), atol=1e-4)
+    codes = pq_encode(x, cb)
+    recon = pq_decode(codes, cb)  # decoded back to ORIGINAL space
+    # reconstruction must approximate the original-space data
+    mse = float(np.mean((recon - x) ** 2))
+    assert mse < float(np.var(x)), "decode did not return to original space"
+
+
+def test_opq_beats_plain_pq_on_correlated_data(rng):
+    x = _correlated_data(rng)
+    plain = train_codebook(x, num_subvectors=8, num_centroids=16, iters=20)
+    opq = train_codebook(x, num_subvectors=8, num_centroids=16, iters=20,
+                         rotate=True, opq_iters=10)
+    mse_plain = float(np.mean((pq_decode(pq_encode(x, plain), plain) - x) ** 2))
+    mse_opq = float(np.mean((pq_decode(pq_encode(x, opq), opq) - x) ** 2))
+    assert mse_opq < mse_plain * 0.9, (
+        f"OPQ mse {mse_opq:.4f} not clearly below plain {mse_plain:.4f}"
+    )
+
+
+def test_opq_flat_search_matches_decoded_oracle(rng):
+    """flat_search_pq with a rotation must rank by asymmetric distance to the
+    original-space reconstructions (rotation is transparent to callers)."""
+    from lantern_tpu.flat import flat_search_pq
+
+    x = _correlated_data(rng, n=600, dim=32)
+    cb = train_codebook(x, num_subvectors=8, num_centroids=32, iters=15,
+                        rotate=True, opq_iters=8)
+    codes = pq_encode(x, cb)
+    q = x[:8]
+    d, ids = flat_search_pq(
+        jnp.asarray(codes), jnp.asarray(cb.centroids), jnp.asarray(q),
+        k=5, exact=True, rotation=jnp.asarray(cb.rotation),
+    )
+    recon = pq_decode(codes, cb)
+    d_true = ((q[:, None, :] - recon[None, :, :]) ** 2).sum(-1)
+    true_ids = np.argsort(d_true, axis=1)[:, :5]
+    # distances match the oracle (bf16 decode tolerance); ids overlap heavily
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], np.sort(d_true, axis=1)[:, 0], rtol=0.05, atol=0.5
+    )
+    overlap = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 5
+        for a, b in zip(np.asarray(ids), true_ids)
+    ])
+    assert overlap >= 0.8, f"opq flat scan id overlap {overlap}"
+
+
+def test_opq_index_end_to_end_with_snapshot_and_insert(rng, tmp_path):
+    x = _correlated_data(rng, n=900, dim=32)
+    p = HnswParams(dim=32, m=8, ef_construction=64, pq=True,
+                   num_centroids=32, num_subvectors=8)
+    ix = Index(p, capacity=900)
+    ix.train_pq(x[:800], rotate=True, opq_iters=6)
+    assert ix._codebook.rotation is not None
+    ix.add(x)
+    g = ix.device_graph
+    assert g.pq_rotation is not None
+    d, labels = ix.search(x[:8], k=10, ef=64)
+    decoded = pq_decode(pq_encode(x, ix._codebook), ix._codebook)
+    _, true_dec = exact_search(jnp.array(x[:8]), jnp.array(decoded), k=10)
+    rec = _recall_labels(labels, np.asarray(true_dec))
+    assert rec >= 0.8, f"opq graph recall vs decoded-exact {rec}"
+    # rotation persists through snapshots; post-load search is identical
+    path = str(tmp_path / "opq.ldb")
+    ix.save(path)
+    ix2 = Index.load(path)
+    assert ix2._codebook.rotation is not None
+    np.testing.assert_allclose(ix2._codebook.rotation, ix._codebook.rotation)
+    d2, labels2 = ix2.search(x[:8], k=10, ef=64)
+    np.testing.assert_array_equal(labels, labels2)
+    # device_insert into an OPQ graph keeps codes consistent
+    from lantern_tpu.graph.build_device import device_insert
+
+    extra = _correlated_data(rng, n=64, dim=32)
+    g2 = device_insert(g, extra, labels=np.arange(2000, 2064, dtype=np.uint64),
+                       batch=32, seed=3)
+    assert g2.pq_rotation is not None
+    codes_tail = np.asarray(g2.vectors)[900:964]
+    np.testing.assert_array_equal(codes_tail, pq_encode(extra, ix._codebook))

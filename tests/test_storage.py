@@ -243,14 +243,14 @@ def test_load_v1_snapshot_fixture():
     assert labels[0, 0] == 3 and d[0, 0] < 1e-4
 
 
-def test_save_writes_v2_header(small_engine, tmp_path):
+def test_save_writes_current_header(small_engine, tmp_path):
     from lantern_tpu.storage.snapshot import HEADER_VERSION
 
     ix, _ = small_engine
-    path = str(tmp_path / "v2.ldb")
+    path = str(tmp_path / "cur.ldb")
     save_snapshot(ix, path, log_state=(1234, 7))
     magic, version = struct.unpack("<II", open(path, "rb").read(8))
-    assert version == HEADER_VERSION == 2
+    assert version == HEADER_VERSION == 3
     _, state = load_snapshot(path, return_log_state=True)
     assert state == (1234, 7)
 
