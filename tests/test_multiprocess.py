@@ -33,7 +33,9 @@ def test_multiprocess_mesh_parity(tmp_path):
         # workers set their own JAX_PLATFORMS/XLA_FLAGS (4 devices each)
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "",
-        "JAX_COMPILATION_CACHE_DIR": "/tmp/lantern_tpu_jax_cache",
+        # cache dir: workers import lantern_tpu, which picks the
+        # machine-fingerprinted default (stale cross-machine CPU AOT
+        # entries abort on deserialize)
     }
     procs = [
         subprocess.Popen(
