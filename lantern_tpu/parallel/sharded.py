@@ -43,6 +43,12 @@ from lantern_tpu.graph.search import search_batched
 class ShardedIndex:
     graphs: DeviceGraph     # every array field has leading shard axis S
     global_ids: jax.Array   # [S, cap+1] int32: local slot -> global id (-1 pad)
+    # full-precision rerank source for PQ shards (quantize_sharded keeps a
+    # bf16 copy of the rows so two-stage search recovers exact recall — the
+    # sharded analog of Index._rerank_dev / the reference's heap table that
+    # always holds raw vectors beside the PQ index)
+    rerank_rows: jax.Array | None = None  # [S, cap, d] bf16
+    rerank_sqn: jax.Array | None = None   # [S, cap] f32
     # build params carried for lifecycle ops (save/insert); static metadata
     params: HnswParams | None = struct.field(pytree_node=False, default=None)
 
@@ -323,6 +329,225 @@ def flat_search_sharded(
     return _merge_topk(d, gid, labels, k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "shortlist", "recall_target")
+)
+def flat_search_sharded_rerank(
+    index: ShardedIndex,
+    queries: jax.Array,
+    k: int = 10,
+    shortlist: int = 100,
+    recall_target: float = 0.95,
+    exclude_gids: jax.Array | None = None,
+):
+    """Sharded two-stage PQ search: per-shard ADC shortlist + exact rerank
+    against each shard's bf16 row copy, then one global top-k merge.
+
+    The multi-chip composition of flat_search_graph_rerank: every device
+    scans its own codes and rescores its own shortlist rows locally, so the
+    collective stays the tiny [S, Q, k] result merge. Requires a PQ-coded
+    index built by :func:`quantize_sharded` with ``keep_rerank=True``.
+    """
+    from lantern_tpu.flat import flat_search_graph_rerank
+
+    if index.rerank_rows is None:
+        raise ValueError(
+            "flat_search_sharded_rerank needs rerank rows — quantize with "
+            "keep_rerank=True"
+        )
+    excl = _as_local_masks(index, exclude_gids)
+
+    def local(graph: DeviceGraph, rows, sqn, gids, excl_row=None):
+        d, ids, labels = flat_search_graph_rerank(
+            graph, rows, sqn, queries, k=k, shortlist=shortlist,
+            recall_target=recall_target, exclude=excl_row,
+        )
+        gid = jnp.where(ids >= 0, gids[jnp.clip(ids, 0, gids.shape[0] - 1)], -1)
+        return d, gid, labels
+
+    args = (index.graphs, index.rerank_rows, index.rerank_sqn,
+            index.global_ids)
+    if excl is None:
+        d, gid, labels = jax.vmap(local)(*args)
+    else:
+        d, gid, labels = jax.vmap(local)(*args, excl)
+    return _merge_topk(d, gid, labels, k)
+
+
+def quantize_sharded(
+    index: ShardedIndex,
+    mesh: Mesh,
+    quant: str = "pq",
+    codebook=None,
+    train_rows: int = 65536,
+    keep_rerank: bool = True,
+    seed: int = 0,
+) -> ShardedIndex:
+    """Re-encode a built f32/bf16 ShardedIndex's vector storage as PQ codes
+    or i8 — composing the reference's two scale mechanisms (external-built
+    index × pq/quant_bits options, build.c:497-501 + options.c:137-158) on
+    the mesh. The per-shard HBM footprint drops from cap*dim*4 to cap*S
+    bytes (PQ) or cap*dim (+4) bytes (i8), which is the beyond-HBM story:
+    8 shards of 12.5M 128-d rows are 3.2 GB of PQ codes pod-wide instead of
+    51 GB of f32.
+
+    The encode runs per shard on its own device (shard_map, zero
+    collectives); nothing round-trips through the host except an optional
+    codebook-training row sample.
+
+    - ``quant="pq"``: train (or take) a PQCodebook and store uint8 codes.
+      ``keep_rerank=True`` (default) retains a bf16 copy of the rows per
+      shard so :func:`flat_search_sharded_rerank` recovers full recall;
+      pass False for the pure beyond-HBM footprint.
+    - ``quant="i8"``: symmetric per-vector int8 codes + f32 scales; both
+      beam and flat searches dequantize on the fly (no rerank needed).
+    """
+    from jax import shard_map
+
+    from lantern_tpu.config import Metric, QuantKind
+    from lantern_tpu.graph.device import QUANT_PQ
+
+    g = index.graphs
+    metric = Metric(g.metric)
+    if metric == Metric.HAMMING:
+        raise ValueError("hamming shards are already bit-packed; no PQ/i8")
+    if g.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
+        raise ValueError("index is already quantized")
+    s, cap, dim = g.vectors.shape
+
+    if quant == "pq":
+        from lantern_tpu.quant.pq import PQCodebook, train_codebook
+
+        if codebook is None:
+            # sample training rows across shards (host-side; training reads
+            # the sample once — the index arrays stay on device)
+            per = max(1, min(cap, train_rows // s))
+            block = np.asarray(
+                jax.device_get(g.vectors[:, :per, :]), np.float32
+            )
+            nn = np.asarray(jax.device_get(g.num_nodes))
+            sample = np.concatenate(
+                [block[si, : max(1, min(per, int(nn[si])))] for si in range(s)]
+            )
+            p = index.params
+            nsub = (p.effective_num_subvectors if p is not None
+                    else max(1, dim // 4))
+            ncent = p.num_centroids if p is not None else 256
+            codebook = train_codebook(
+                sample, num_subvectors=nsub, num_centroids=min(ncent, 256),
+                seed=seed, rotate=True,
+            )
+        cent = jnp.asarray(codebook.centroids, jnp.float32)
+        rot = (jnp.asarray(codebook.rotation, jnp.float32)
+               if codebook.rotation is not None else None)
+
+        def encode_block(vec):  # [1, cap, dim] device-local block
+            from lantern_tpu.quant.pq import _encode_jit
+
+            v = vec[0].astype(jnp.float32)
+            codes = _encode_jit(v, cent, rot)
+            rows = v.astype(jnp.bfloat16)
+            return codes[None], rows[None]
+
+        enc = jax.jit(shard_map(
+            encode_block, mesh=mesh,
+            in_specs=(P("shard"),), out_specs=(P("shard"), P("shard")),
+            check_vma=False,
+        ))
+        codes, rows_bf16 = enc(g.vectors)
+
+        def tile(x):
+            return jax.device_put(
+                jnp.broadcast_to(x[None], (s,) + x.shape),
+                NamedSharding(mesh, P("shard")),
+            )
+
+        new_graphs = g.replace(
+            vectors=codes,
+            vec_scales=None,
+            pq_codebook=tile(cent),
+            pq_rotation=tile(rot) if rot is not None else None,
+            quant=QUANT_PQ,
+        )
+        p = index.params
+        new_params = (dataclasses.replace(
+            p, pq=True, num_subvectors=codebook.num_subvectors,
+            num_centroids=codebook.num_centroids,
+        ) if p is not None else None)
+        return ShardedIndex(
+            graphs=new_graphs,
+            global_ids=index.global_ids,
+            rerank_rows=rows_bf16 if keep_rerank else None,
+            rerank_sqn=g.sq_norms if keep_rerank else None,
+            params=new_params,
+        )
+
+    if quant == "i8":
+        from lantern_tpu.quant.scalar import quantize_i8
+
+        def encode_block(vec):
+            codes, scales = quantize_i8(vec[0].astype(jnp.float32))
+            return codes[None], scales[None]
+
+        enc = jax.jit(shard_map(
+            encode_block, mesh=mesh,
+            in_specs=(P("shard"),), out_specs=(P("shard"), P("shard")),
+            check_vma=False,
+        ))
+        codes, scales = enc(g.vectors)
+        new_graphs = g.replace(
+            vectors=codes, vec_scales=scales, quant=int(QuantKind.I8)
+        )
+        p = index.params
+        new_params = (dataclasses.replace(p, quant=QuantKind.I8)
+                      if p is not None else None)
+        return ShardedIndex(
+            graphs=new_graphs, global_ids=index.global_ids,
+            params=new_params,
+        )
+
+    raise ValueError(f"quant={quant!r}; expected 'pq' or 'i8'")
+
+
+def _sharded_rounds_fn(mesh: Mesh, st_spec, lvl_spec, efc: int, max_in: int,
+                       flat_cand: bool):
+    """Jitted shard_map program running grouped vmapped insert rounds —
+    every device executes its own shard's rounds, zero collectives by
+    construction (shared by build_sharded_device and insert_sharded)."""
+    from jax import shard_map
+
+    from lantern_tpu.graph.build_device import _insert_round
+
+    round_core = jax.vmap(
+        functools.partial(_insert_round, efc=efc, max_in=max_in,
+                          flat_cand=flat_cand),
+        in_axes=(0, 0, 0),
+    )
+
+    def grouped_core(st_stack, ids3d, lvls):
+        # R rounds as one lax.scan -> one dispatch per group (fixed
+        # per-dispatch cost; same grouping as build_on_device)
+        def body(stk, ids2d):
+            return round_core(stk, ids2d, lvls), None
+
+        stk, _ = jax.lax.scan(body, st_stack, ids3d)
+        return stk
+
+    # donation matters on TPU (the build state is the HBM budget); on the
+    # CPU backend it buys nothing and donated shard_map executables have
+    # shown compiler instability late in long processes (r3 suite crashes)
+    donate = () if jax.default_backend() == "cpu" else (0,)
+    return jax.jit(
+        shard_map(
+            grouped_core, mesh=mesh,
+            in_specs=(st_spec, P(None, "shard"), lvl_spec),
+            out_specs=st_spec,
+            check_vma=False,
+        ),
+        donate_argnums=donate,
+    )
+
+
 def build_sharded_device(
     vectors: np.ndarray,
     params: HnswParams,
@@ -367,7 +592,7 @@ def build_sharded_device(
     if store not in ("f32", "bf16"):
         raise ValueError(f"store={store!r}; expected f32|bf16")
     from lantern_tpu.config import Metric
-    from lantern_tpu.graph.build_device import BuildState, _insert_round
+    from lantern_tpu.graph.build_device import BuildState
     from lantern_tpu.graph.host_build import LMAX
 
     metric = Metric(params.metric)
@@ -476,35 +701,13 @@ def build_sharded_device(
     # re-shard heavy intermediates over the OTHER mesh axes and insert
     # all-gather/all-reduce pairs; on the virtual CPU mesh the in-process
     # rendezvous for those deadlocks intermittently (40 s hard abort).
-    from jax import shard_map
-
     st_spec = jax.tree_util.tree_map(lambda _: P("shard"), st)
     lvl_spec = tuple(P("shard") for _ in level_tuple_dev)
 
     def _make_rounds_fn(flat_cand: bool):
-        round_core = jax.vmap(
-            functools.partial(_insert_round, efc=params.ef_construction,
-                              max_in=max_in, flat_cand=flat_cand),
-            in_axes=(0, 0, 0),
-        )
-
-        def grouped_core(st_stack, ids3d, lvls):
-            # R rounds as one lax.scan -> one dispatch per group (fixed
-            # per-dispatch cost; same grouping as build_on_device)
-            def body(stk, ids2d):
-                return round_core(stk, ids2d, lvls), None
-
-            stk, _ = jax.lax.scan(body, st_stack, ids3d)
-            return stk
-
-        return jax.jit(
-            shard_map(
-                grouped_core, mesh=mesh,
-                in_specs=(st_spec, P(None, "shard"), lvl_spec),
-                out_specs=st_spec,
-                check_vma=False,
-            ),
-            donate_argnums=(0,),
+        return _sharded_rounds_fn(
+            mesh, st_spec, lvl_spec, efc=params.ef_construction,
+            max_in=max_in, flat_cand=flat_cand,
         )
 
     # hybrid switches each shard's pool kind at flat_until built nodes —
@@ -601,15 +804,45 @@ def build_sharded_device(
 
 
 class _ShardView:
-    """Duck-typed engine view over one shard's arrays (for save_snapshot)."""
+    """Duck-typed engine view over one shard's arrays (for save_snapshot).
+
+    Quantized shards are viewed through their SOURCE rows — the bf16 rerank
+    copy (PQ with keep_rerank), the decoded centroids (PQ without), or the
+    exactly-dequantized f32 rows (i8) — so every shard file stays loadable
+    by the single-index tooling; load_sharded re-encodes on the mesh."""
 
     def __init__(self, index: ShardedIndex, si: int):
+        from lantern_tpu.config import QuantKind
+        from lantern_tpu.graph.device import QUANT_PQ
+
         g = jax.device_get(jax.tree.map(lambda a: a[si], index.graphs))
         self.p = index.params
         self.n = int(g.num_nodes)
         self.entry = int(g.entry)
         self.max_level = int(g.max_level)
-        self.vectors = np.asarray(g.vectors)
+        if g.quant == QUANT_PQ:
+            if index.rerank_rows is not None:
+                self.vectors = np.asarray(
+                    jax.device_get(index.rerank_rows[si])
+                )
+            else:
+                from lantern_tpu.quant.pq import PQCodebook, pq_decode
+
+                cb = PQCodebook(
+                    centroids=np.asarray(g.pq_codebook),
+                    rotation=(np.asarray(g.pq_rotation)
+                              if g.pq_rotation is not None else None),
+                )
+                self.vectors = pq_decode(np.asarray(g.vectors), cb)
+        elif g.quant == int(QuantKind.I8):
+            from lantern_tpu.quant.scalar import dequantize_i8
+
+            self.vectors = np.asarray(
+                dequantize_i8(jnp.asarray(g.vectors),
+                              jnp.asarray(g.vec_scales))
+            )
+        else:
+            self.vectors = np.asarray(g.vectors)
         self.neighbors0 = np.asarray(g.neighbors0)
         self.counts0 = (self.neighbors0 >= 0).sum(1).astype(np.int32)
         self.upper_neighbors = np.asarray(g.upper_neighbors)
@@ -625,12 +858,32 @@ class _ShardView:
         self.deleted = np.asarray(g.deleted)
 
 
+def _sharded_codebook(index: ShardedIndex):
+    """PQCodebook reconstructed from the (replicated) device copy, or None."""
+    g = index.graphs
+    if g.pq_codebook is None:
+        return None
+    from lantern_tpu.quant.pq import PQCodebook
+
+    return PQCodebook(
+        centroids=np.asarray(jax.device_get(g.pq_codebook[0])),
+        rotation=(np.asarray(jax.device_get(g.pq_rotation[0]))
+                  if g.pq_rotation is not None else None),
+    )
+
+
 def save_sharded(index: ShardedIndex, dir_path: str):
     """Persist: manifest.json + shard_<i>.ldb (standard snapshots) +
-    shard_<i>.gids.npy (local slot -> global id)."""
+    shard_<i>.gids.npy (local slot -> global id).
+
+    Quantized indexes persist their source rows per shard (see _ShardView)
+    plus the codebook inside every shard file; the manifest records the
+    quant kind so load_sharded re-encodes on the mesh."""
     import json
     import os
 
+    from lantern_tpu.config import QuantKind
+    from lantern_tpu.graph.device import QUANT_PQ
     from lantern_tpu.storage.snapshot import save_snapshot
 
     if index.params is None:
@@ -638,13 +891,22 @@ def save_sharded(index: ShardedIndex, dir_path: str):
     os.makedirs(dir_path, exist_ok=True)
     s = index.global_ids.shape[0]
     gids = np.asarray(jax.device_get(index.global_ids))
+    codebook = _sharded_codebook(index)
     for si in range(s):
         view = _ShardView(index, si)
-        save_snapshot(view, os.path.join(dir_path, f"shard_{si}.ldb"))
+        save_snapshot(view, os.path.join(dir_path, f"shard_{si}.ldb"),
+                      pq_codebook=codebook)
         np.save(os.path.join(dir_path, f"shard_{si}.gids.npy"), gids[si])
-    manifest = {"version": 1, "n_shards": s,
+    quant_kind = None
+    if index.graphs.quant == QUANT_PQ:
+        quant_kind = "pq"
+    elif index.graphs.quant == int(QuantKind.I8):
+        quant_kind = "i8"
+    manifest = {"version": 2, "n_shards": s,
                 "dim": index.params.dim, "m": index.params.m,
-                "metric": int(index.params.metric)}
+                "metric": int(index.params.metric),
+                "quant": quant_kind,
+                "keep_rerank": index.rerank_rows is not None}
     tmp = os.path.join(dir_path, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -667,15 +929,33 @@ def load_sharded(dir_path: str, mesh: Mesh, engine: str = "native") -> ShardedIn
             f"snapshot has {s} shards but mesh shard axis is "
             f"{mesh.shape['shard']}"
         )
+    quant_kind = manifest.get("quant")
     shards, gids = [], []
     params = None
+    codebook = None
     for si in range(s):
-        eng = load_snapshot(os.path.join(dir_path, f"shard_{si}.ldb"),
-                            engine=engine)
+        eng, cb = load_snapshot(os.path.join(dir_path, f"shard_{si}.ldb"),
+                                engine=engine, return_codebook=True)
         params = eng.p
+        codebook = codebook or cb
         g = np.load(os.path.join(dir_path, f"shard_{si}.gids.npy"))
         shards.append(eng)
         gids.append(g[g >= 0][: eng.n])
+    if quant_kind == "pq":
+        # stack unquantized, then re-encode on the mesh with the persisted
+        # codebook (codes from bf16 source rows are quality-equivalent)
+        base_params = dataclasses.replace(params, pq=False)
+        ix = _stack_engines(shards, gids, base_params, mesh)
+        return quantize_sharded(
+            ix, mesh, quant="pq", codebook=codebook,
+            keep_rerank=manifest.get("keep_rerank", True),
+        )
+    if quant_kind == "i8":
+        from lantern_tpu.config import QuantKind
+
+        base_params = dataclasses.replace(params, quant=QuantKind.F32)
+        ix = _stack_engines(shards, gids, base_params, mesh)
+        return quantize_sharded(ix, mesh, quant="i8")
     return _stack_engines(shards, gids, params, mesh)
 
 
@@ -692,85 +972,308 @@ def insert_sharded(
     labels: np.ndarray | None = None,
     batch: int = 256,
     seed: int = 0,
+    candidates: str = "flat",
+    flat_until: int = 2_000_000,
 ) -> ShardedIndex:
-    """Post-build insert: route new vectors to their round-robin owner shard
-    (owner = global_id % S, the build partitioning) and run the device
-    insert rounds per shard, then re-stack onto the mesh.
+    """Post-build insert ON the mesh: route new vectors to their round-robin
+    owner shard (owner = global_id % S, the build partitioning), grow and
+    scatter the stacked arrays device-side, and run the SAME vmapped insert
+    rounds as build_sharded_device — all shards concurrently, zero
+    collectives.
 
-    The per-shard graphs round-trip through host memory here — fine for
-    incremental maintenance batches; bulk loads should rebuild.
+    No full-graph host copy: the vector and adjacency arrays never leave
+    the devices (the previous implementation round-tripped every shard
+    through device_get + standalone device_insert + re-stack — S full
+    copies per trickle insert). Host traffic is the new rows plus O(cap)
+    METADATA (levels and global ids, ~8 B/row vs ~640 B/row for the full
+    copy) needed to rebuild the per-level candidate pools.
+
+    Reference analog: the external fleet ingests concurrently,
+    server.rs:311-375.
     """
-    from lantern_tpu.graph.build_device import device_insert
-    from lantern_tpu.graph.device import join_labels
+    from lantern_tpu.config import Metric, QuantKind
+    from lantern_tpu.graph.build_device import BuildState
+    from lantern_tpu.graph.host_build import LMAX
+    from lantern_tpu.graph.device import split_labels as _split
 
     if index.params is None:
         raise ValueError("ShardedIndex has no params; cannot insert")
+    if index.graphs.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
+        raise NotImplementedError(
+            "insert into a quantized ShardedIndex is not supported yet; "
+            "insert before quantize_sharded, or compact_sharded to rebuild"
+        )
+    if index.graphs.upper_ids is None:
+        raise ValueError(
+            "insert_sharded requires graphs.upper_ids (all lantern_tpu "
+            "constructors set it)"
+        )
     params = index.params
-    vectors = np.ascontiguousarray(vectors, np.float32)
-    b = len(vectors)
-    s = index.global_ids.shape[0]
-    gids_np = np.asarray(jax.device_get(index.global_ids))
-    n_global = int(gids_np.max()) + 1
-    new_gids = np.arange(n_global, n_global + b)
+    g = index.graphs
+    metric = Metric(g.metric)
+    np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
+    vectors = np.ascontiguousarray(vectors, np_dtype)
+    b, width = vectors.shape
+    s, cap = g.vectors.shape[0], g.vectors.shape[1]
+    m = g.m
+    max_in = max(4, m // 2)
+
+    # --- small device fetches: counts, per-shard upper-slot highwater ---
+    nn = np.asarray(jax.device_get(g.num_nodes)).astype(np.int64)  # [S]
+    nup = np.asarray(jax.device_get(
+        jax.jit(lambda us: jnp.max(us, axis=1))(g.upper_slot)
+    )).astype(np.int64) + 1  # [S] real upper-slot count (0 if none)
+    nup = np.maximum(nup, 0)
+    n_global = int(jax.device_get(jnp.max(index.global_ids)))
+    new_gids = np.arange(n_global + 1, n_global + 1 + b)
     if labels is None:
         labels = new_gids.astype(np.uint64)
+    labels = np.asarray(labels, np.uint64)
 
-    shards, out_gids = [], []
+    # --- route to owner shards ---
+    owner = (new_gids % s).astype(np.int64)
+    b_si = np.bincount(owner, minlength=s)
+    bmax = int(b_si.max())
+    if bmax == 0:
+        return index
+    # pad the per-shard block to a power of two: bounds distinct jit shapes
+    bpad = max(8, 1 << int(np.ceil(np.log2(bmax))))
+    need = nn + b_si
+
+    # --- level draws + upper-slot assignment (host; tiny) ---
+    rng = np.random.default_rng(seed + int(nn.sum()))
+    u = np.maximum(rng.random(b), 1e-300)
+    lam = params.level_lambda
+    lv_all = np.minimum((-np.log(u) * lam).astype(np.int64), LMAX).astype(np.int32)
+
+    rows_np = np.zeros((s, bpad, width), np_dtype)
+    sq_np = np.zeros((s, bpad), np.float32)
+    lvl_blk = np.zeros((s, bpad), np.int32)
+    slot_blk = np.full((s, bpad), -1, np.int32)
+    lab_blk = np.zeros((s, bpad, 2), np.uint32)
+    gid_blk = np.full((s, bpad), -1, np.int32)
+    dele_blk = np.ones((s, bpad), bool)  # lanes beyond b_si stay tombstoned
+    add_si = np.zeros(s, np.int64)
     for si in range(s):
-        g = _unstack_shard(index, si)
-        mine = (new_gids % s) == si
-        old_gids = gids_np[si][gids_np[si] >= 0][: int(g.num_nodes)]
-        if mine.any():
-            g = device_insert(g, vectors[mine], labels=labels[mine],
-                              batch=batch, seed=seed + si)
-            shard_gids = np.concatenate([old_gids, new_gids[mine]])
-        else:
-            shard_gids = old_gids
-        shards.append(_GraphView(g, params))
-        out_gids.append(shard_gids.astype(np.int32))
-    return _stack_engines(shards, out_gids, params, mesh)
+        mine = owner == si
+        k = int(b_si[si])
+        if k == 0:
+            continue
+        rows_np[si, :k] = vectors[mine]
+        if metric != Metric.HAMMING:
+            vf = rows_np[si, :k].astype(np.float32)
+            sq_np[si, :k] = np.einsum("nd,nd->n", vf, vf)
+        lvs = lv_all[mine]
+        lvl_blk[si, :k] = lvs
+        has = lvs >= 1
+        add_si[si] = int(has.sum())
+        slot_blk[si, :k][has] = nup[si] + np.arange(add_si[si], dtype=np.int32)
+        lab_blk[si, :k] = _split(labels[mine])
+        gid_blk[si, :k] = new_gids[mine]
+        dele_blk[si, :k] = False
 
+    # --- capacity / upper-capacity growth (amortized doubling) ---
+    new_cap = cap
+    while new_cap < int(need.max()) or new_cap < int(nn.max()) + bpad:
+        new_cap = max(8, new_cap * 2)
+    ucap_old = g.upper_neighbors.shape[1]
+    ucap_new = max(ucap_old, int((nup + add_si).max()) + 1)  # +1 dummy space
 
-class _GraphView:
-    """Duck-typed engine view over a standalone DeviceGraph (re-stacking)."""
+    # --- metadata fetch for the per-level candidate pools ---
+    levels_host = np.asarray(jax.device_get(g.levels))  # [S, cap] i32
+    lvl_full = np.zeros((s, new_cap), np.int32)
+    lvl_full[:, :cap] = levels_host
+    for si in range(s):
+        lvl_full[si, nn[si]: nn[si] + bpad] = lvl_blk[si]
+        lvl_full[si, need[si]:] = 0  # pad lanes past the live set
+    UPPER_POOL_CAP = 32768
+    global_max_lvl = int(lvl_full[:, : int(need.max())].max()) if need.max() else 0
+    level_arrays = []
+    for lvl in range(1, global_max_lvl + 1):
+        per_shard = []
+        for si in range(s):
+            lids = np.nonzero(lvl_full[si, : need[si]] >= lvl)[0].astype(np.int32)
+            if len(lids) > UPPER_POOL_CAP:
+                lids = np.sort(rng.choice(lids, UPPER_POOL_CAP, replace=False))
+            per_shard.append(lids)
+        size = max(8, 1 << int(np.ceil(np.log2(max(max(len(x) for x in per_shard), 1)))))
+        arr = np.full((s, size), -1, np.int32)
+        for si in range(s):
+            arr[si, : len(per_shard[si])] = per_shard[si]
+        level_arrays.append(arr)
 
-    def __init__(self, g: DeviceGraph, params: HnswParams):
-        from lantern_tpu.graph.device import join_labels
+    def put(x, spec=P("shard")):
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
 
-        self.p = params
-        self.n = int(g.num_nodes)
-        self.entry = int(g.entry)
-        self.max_level = int(g.max_level)
-        self.vectors = np.asarray(jax.device_get(g.vectors))
-        self.neighbors0 = np.asarray(jax.device_get(g.neighbors0))
-        self.upper_neighbors = np.asarray(jax.device_get(g.upper_neighbors))
-        self.upper_slot = np.asarray(jax.device_get(g.upper_slot))
-        self.levels = np.asarray(jax.device_get(g.levels))
-        self.labels = join_labels(np.asarray(jax.device_get(g.labels)))
-        self.deleted = np.asarray(jax.device_get(g.deleted))
-        slots = self.upper_slot[: self.n]
-        used = slots[slots >= 0]
-        self.n_upper = int(used.max()) + 1 if used.size else 0
+    level_tuple_dev = tuple(put(a) for a in level_arrays)
 
+    # --- device-side grow + scatter (shard_map; zero collectives) ---
+    from jax import shard_map
 
-@jax.jit
-def _mark_deleted_sharded(deleted, stacked_labels, dead_pairs):
-    """[S, cap] bool, [S, cap, 2] u32, [L, 2] u32 -> updated tombstones."""
-    hit = jnp.any(
-        jnp.all(
-            stacked_labels[:, :, None, :] == dead_pairs[None, None, :, :],
-            axis=-1,
-        ),
-        axis=-1,
+    n0_dev = put(nn.astype(np.int32))
+    nup_dev = put(nup.astype(np.int32))
+    store_dtype = g.vectors.dtype
+
+    def grow_scatter(vec, sqn, nbr0, up, uslot, lvl, lab, dele, gid,
+                     n0, nupper, nrows, nsq, nlvl, nslot, nlab, ndele, ngid):
+        # per-device blocks, leading dim 1
+        n0 = n0[0]
+        nupper = nupper[0]
+
+        def pad_rows(a, rows, fill):
+            extra = rows - a.shape[1]
+            if extra <= 0:
+                return a
+            blk = jnp.full((1, extra) + a.shape[2:], fill, a.dtype)
+            return jnp.concatenate([a, blk], axis=1)
+
+        def upd(a, blk):
+            idx = (jnp.int32(0), n0) + (jnp.int32(0),) * (a.ndim - 2)
+            return jax.lax.dynamic_update_slice(a, blk, idx)
+
+        vec2 = upd(pad_rows(vec, new_cap, 0), nrows.astype(vec.dtype))
+        sq2 = upd(pad_rows(sqn, new_cap, 0), nsq)
+        # drop the old dummy row at index cap (absorbs conflict scatters —
+        # may hold garbage) and append fresh -1 rows + a new dummy
+        nbr2 = jnp.concatenate(
+            [nbr0[:, :cap],
+             jnp.full((1, new_cap + 1 - cap, 2 * m), -1, jnp.int32)], axis=1
+        )
+        # upper adjacency: keep only this shard's REAL slots (rows past
+        # nupper are blanks or the build's dummy-scatter garbage), then
+        # grow to ucap_new
+        uidx = jnp.arange(up.shape[1], dtype=jnp.int32)
+        up_clean = jnp.where(
+            (uidx < nupper)[None, :, None, None], up, -1
+        )
+        up2 = pad_rows(up_clean, ucap_new, -1)
+        uslot2 = upd(pad_rows(uslot, new_cap, -1), nslot)
+        lvl2 = upd(pad_rows(lvl, new_cap, 0), nlvl)
+        lab2 = upd(pad_rows(lab, new_cap, 0), nlab)
+        dele2 = upd(pad_rows(dele, new_cap, True), ndele)
+        gid2 = jnp.concatenate(
+            [gid[:, :cap],
+             jnp.full((1, new_cap + 1 - cap), -1, jnp.int32)], axis=1
+        )
+        gid2 = upd(gid2, ngid)
+        return vec2, sq2, nbr2, up2, uslot2, lvl2, lab2, dele2, gid2
+
+    spec = P("shard")
+    grow = jax.jit(shard_map(
+        grow_scatter, mesh=mesh,
+        in_specs=(spec,) * 18, out_specs=(spec,) * 9,
+        check_vma=False,
+    ))
+    vec2, sq2, nbr2, up2, uslot2, lvl2, lab2, dele2, gid2 = grow(
+        g.vectors, g.sq_norms, g.neighbors0, g.upper_neighbors,
+        g.upper_slot, g.levels, g.labels, g.deleted, index.global_ids,
+        n0_dev, nup_dev,
+        put(rows_np), put(sq_np), put(lvl_blk), put(slot_blk),
+        put(lab_blk), put(dele_blk), put(gid_blk),
     )
-    return jnp.logical_or(deleted, hit)
+
+    # --- the insert rounds (same SPMD program as the parallel build) ---
+    st = BuildState(
+        vectors=vec2, sq_norms=sq2, neighbors0=nbr2, upper_neighbors=up2,
+        upper_slot=uslot2, levels=lvl2, entry=g.entry,
+        max_level=g.max_level, n=g.num_nodes,
+        m=m, dim=width, metric=int(metric),
+    )
+    st_spec = jax.tree_util.tree_map(lambda _: P("shard"), st)
+    lvl_spec = tuple(P("shard") for _ in level_tuple_dev)
+    built_min = int(nn.min())
+    flat_cand = (candidates == "flat"
+                 or (candidates == "hybrid" and built_min < flat_until))
+    rounds_fn = _sharded_rounds_fn(
+        mesh, st_spec, lvl_spec, efc=params.ef_construction,
+        max_in=max_in, flat_cand=flat_cand,
+    )
+    rounds = []
+    pos = 0
+    while pos < bpad:
+        size = min(batch, bpad - pos)
+        ids = np.full((s, size), -1, np.int32)
+        for si in range(s):
+            hi = min(pos + size, int(b_si[si]))
+            if hi > pos:
+                ids[si, : hi - pos] = nn[si] + np.arange(pos, hi, dtype=np.int32)
+        rounds.append(ids)
+        pos += size
+    from lantern_tpu.graph.build_device import ROUND_GROUP
+
+    def put_ids(ids3d):
+        return jax.device_put(
+            jnp.asarray(ids3d), NamedSharding(mesh, P(None, "shard"))
+        )
+
+    i = 0
+    while i < len(rounds):
+        grp = [r for r in rounds[i: i + ROUND_GROUP]
+               if r.shape[1] == rounds[i].shape[1]]
+        st = rounds_fn(st, put_ids(np.stack(grp)), level_tuple_dev)
+        i += len(grp)
+
+    # --- final stacked graph (upper_ids extended host-side; tiny) ---
+    old_uids = np.asarray(jax.device_get(g.upper_ids))
+    uid_np = np.full((s, ucap_new), -1, np.int32)
+    for si in range(s):
+        uid_np[si, : nup[si]] = old_uids[si, : nup[si]]
+        has = slot_blk[si] >= 0
+        uid_np[si][slot_blk[si][has]] = nn[si] + np.nonzero(has)[0].astype(np.int32)
+    graphs = DeviceGraph(
+        vectors=st.vectors,
+        sq_norms=st.sq_norms,
+        neighbors0=st.neighbors0,
+        upper_neighbors=st.upper_neighbors,
+        upper_slot=st.upper_slot,
+        levels=st.levels,
+        labels=lab2,
+        deleted=dele2,
+        entry=st.entry,
+        max_level=st.max_level,
+        num_nodes=put(need.astype(np.int32)),
+        upper_ids=put(uid_np),
+        m=m,
+        dim=g.dim,
+        metric=int(metric),
+        quant=g.quant,
+    )
+    return ShardedIndex(graphs=graphs, global_ids=gid2, params=params)
 
 
 def delete_sharded(index: ShardedIndex, labels: np.ndarray) -> ShardedIndex:
-    """Tombstone by label across all shards (delete.c semantics)."""
-    dead = split_labels(np.asarray(labels, np.uint64))
-    new_deleted = _mark_deleted_sharded(
-        index.graphs.deleted, index.graphs.labels, jnp.asarray(dead)
+    """Tombstone by label across all shards (delete.c semantics).
+
+    Labels are resolved HOST-SIDE by sorted binary search per shard —
+    O((cap + L) log cap) time and O(S x cap) memory. (The previous
+    device-side broadcast compare materialized an [S, cap, L, 2]
+    intermediate: a 100k-label bulk delete against 8 x 1.25M-row shards is
+    a ~10^11-element array — OOM. The label fetch here is S*cap*8 bytes,
+    ~10 MB at that scale.) Duplicate labels tombstone every matching row,
+    same as the broadcast compare did.
+    """
+    from lantern_tpu.graph.device import join_labels
+
+    dead = np.unique(np.asarray(labels, np.uint64).reshape(-1))
+    lab = join_labels(np.asarray(jax.device_get(index.graphs.labels)))
+    old = np.asarray(jax.device_get(index.graphs.deleted), bool)
+    hit = np.zeros_like(old)
+    s = lab.shape[0]
+    for si in range(s):
+        order = np.argsort(lab[si], kind="stable")
+        slab = lab[si][order]
+        lo = np.searchsorted(slab, dead, side="left")
+        hi = np.searchsorted(slab, dead, side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            continue
+        starts = np.repeat(lo, counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        hit[si][order[starts + offs]] = True
+    new_deleted = jax.device_put(
+        np.logical_or(old, hit), index.graphs.deleted.sharding
     )
     return index.replace(graphs=index.graphs.replace(deleted=new_deleted))
 
@@ -800,21 +1303,43 @@ def compact_sharded(
             if getattr(p, field) != getattr(index.params, field):
                 raise ValueError(f"compact_sharded cannot change {field}")
     s = index.global_ids.shape[0]
+    quant_kind = None
+    from lantern_tpu.config import QuantKind
+    from lantern_tpu.graph.device import QUANT_PQ
+
+    if index.graphs.quant == QUANT_PQ:
+        quant_kind = "pq"
+    elif index.graphs.quant == int(QuantKind.I8):
+        quant_kind = "i8"
     live_vecs, live_labels = [], []
     for si in range(s):
-        g = jax.device_get(jax.tree.map(lambda a: a[si], index.graphs))
-        n = int(g.num_nodes)
-        alive = ~np.asarray(g.deleted[:n], bool)
-        v = np.asarray(g.vectors[:n])
+        # _ShardView resolves quantized storage to source rows (rerank copy /
+        # decoded / dequantized) so the rebuild inserts real vectors
+        view = _ShardView(index, si)
+        n = view.n
+        alive = ~np.asarray(view.deleted[:n], bool)
+        v = np.asarray(view.vectors[:n])
         if v.dtype.name == "bfloat16":
             v = v.astype(np.float32)  # exact widening; store="bf16" re-casts
         live_vecs.append(v[alive])
-        live_labels.append(join_labels(np.asarray(g.labels[:n]))[alive])
+        live_labels.append(view.labels[:n][alive])
     vecs = np.concatenate(live_vecs)
     labels = np.concatenate(live_labels).astype(np.uint64)
-    return build_sharded_device(
-        vecs, p, mesh, batch=batch, seed=seed, labels=labels, **kw
+    base_p = p
+    if quant_kind == "pq":
+        base_p = dataclasses.replace(p, pq=False)
+    elif quant_kind == "i8":
+        base_p = dataclasses.replace(p, quant=QuantKind.F32)
+    out = build_sharded_device(
+        vecs, base_p, mesh, batch=batch, seed=seed, labels=labels, **kw
     )
+    if quant_kind is not None:
+        out = quantize_sharded(
+            out, mesh, quant=quant_kind,
+            codebook=_sharded_codebook(index),
+            keep_rerank=index.rerank_rows is not None,
+        )
+    return out
 
 
 @dataclasses.dataclass

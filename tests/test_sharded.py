@@ -253,6 +253,85 @@ def test_sharded_insert_delete(tmp_path):
     assert not np.isin(np.asarray(gids2), np.arange(1200, 1204)).any()
 
 
+def test_sharded_insert_no_host_roundtrip(monkeypatch):
+    """insert_sharded runs ON the mesh: the vector/adjacency arrays never
+    round-trip through the host — only O(cap) metadata (levels, counts,
+    upper ids) is fetched. Guards the hot path: the old implementation
+    pulled S full graph copies per trickle insert."""
+    import time
+
+    from lantern_tpu.parallel.sharded import insert_sharded
+
+    rng = np.random.default_rng(77)
+    base = rng.standard_normal((1600, 16)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix = build_sharded(base[:1200], p, mesh, seed=0)
+    vec_bytes = ix.graphs.vectors.nbytes
+    nbr_bytes = ix.graphs.neighbors0.nbytes
+    fetched: list[int] = []
+    orig = jax.device_get
+
+    def spy(x):
+        for leaf in jax.tree.leaves(x):
+            nb = getattr(leaf, "nbytes", 0)
+            if nb:
+                fetched.append(int(nb))
+        return orig(x)
+
+    monkeypatch.setattr(jax, "device_get", spy)
+    t0 = time.perf_counter()
+    ix2 = insert_sharded(ix, base[1200:], mesh, batch=64, seed=1)
+    jax.block_until_ready(ix2.graphs.neighbors0)
+    dt = time.perf_counter() - t0
+    monkeypatch.undo()
+    biggest = max(fetched) if fetched else 0
+    assert biggest < min(vec_bytes, nbr_bytes) // 4, (
+        f"insert fetched a {biggest}-byte array from device "
+        f"(vectors={vec_bytes}, neighbors={nbr_bytes}) — full-graph host "
+        "round-trip reintroduced?"
+    )
+    print(f"\ninsert_sharded 400 rows over 8 shards: {dt:.2f}s "
+          f"(max host fetch {biggest} B vs {vec_bytes} B vectors)")
+    # parity: inserted vectors are findable, recall holds
+    q = jnp.array(base[1200:1208])
+    _, gids, _ = search_sharded(ix2, q, k=1, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(gids)[:, 0], np.arange(1200, 1208)
+    )
+    _, tids = exact_search(jnp.array(base[::111]), jnp.array(base), k=10)
+    _, g10, _ = search_sharded(ix2, jnp.array(base[::111]), k=10, ef=64)
+    rec = _recall(np.asarray(g10), np.asarray(tids))
+    assert rec >= 0.85, f"post-insert recall {rec}"
+
+
+def test_sharded_insert_grows_capacity():
+    """Insert past the stacked capacity: doubling growth on the mesh."""
+    from lantern_tpu.parallel.sharded import insert_sharded
+
+    rng = np.random.default_rng(78)
+    base = rng.standard_normal((2000, 16)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix = build_sharded(base[:400], p, mesh, seed=0)
+    cap0 = ix.graphs.vectors.shape[1]
+    ix = insert_sharded(ix, base[400:], mesh, batch=64, seed=1)
+    assert ix.graphs.vectors.shape[1] > cap0
+    assert int(np.asarray(jax.device_get(ix.graphs.num_nodes)).sum()) == 2000
+    # every vector findable as its own nearest neighbor
+    probes = np.r_[0:8, 396:404, 1992:2000]
+    q = jnp.array(base[probes])
+    _, gids, _ = search_sharded(ix, q, k=1, ef=32)
+    np.testing.assert_array_equal(np.asarray(gids)[:, 0], probes)
+    # and a second insert composes (upper-slot bookkeeping stays aligned)
+    extra = rng.standard_normal((64, 16)).astype(np.float32)
+    ix = insert_sharded(ix, extra, mesh, batch=32, seed=2)
+    _, g2, _ = search_sharded(ix, jnp.array(extra[:8]), k=1, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(g2)[:, 0], np.arange(2000, 2008)
+    )
+
+
 def test_sharded_flat_exact_matches_oracle(sharded_ix):
     """flat_search_sharded(exact=True) == global exact top-k (the per-shard
     exact top-k composes exactly through the merge)."""

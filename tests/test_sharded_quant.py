@@ -1,0 +1,248 @@
+"""Quantization x sharding composition tests (8-device CPU mesh).
+
+The reference composes its two scale mechanisms — external-built indexes
+accept pq=true / quant_bits (build.c:497-501, options.c:137-158). Here the
+analog is quantize_sharded over a ShardedIndex: PQ / i8 shard storage with
+both beam (search_sharded) and flat (flat_search_sharded) paths, plus the
+two-stage rerank (flat_search_sharded_rerank).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lantern_tpu.config import HnswParams
+from lantern_tpu.graph.device import QUANT_PQ
+from lantern_tpu.ops import exact_search
+from lantern_tpu.parallel import (
+    build_sharded,
+    compact_sharded,
+    delete_sharded,
+    flat_search_sharded,
+    flat_search_sharded_rerank,
+    insert_sharded,
+    load_sharded,
+    make_mesh,
+    quantize_sharded,
+    save_sharded,
+    search_sharded,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # Late in a full-suite process the XLA:CPU compiler intermittently
+    # crashed (SIGSEGV/abort, 3x at the same compile, different frames)
+    # when compiling this module's shard_map rebuild programs; a fresh
+    # executable cache avoids the accumulated-state trigger. Costs a few
+    # recompiles; semantics unchanged.
+    jax.clear_caches()
+    yield
+
+
+def _recall(found_ids, true_ids):
+    hits = 0
+    for f, t in zip(found_ids, true_ids):
+        hits += len(set(int(x) for x in f if x >= 0) & set(int(x) for x in t))
+    return hits / true_ids.size
+
+
+def _clustered(rng, n, dim, centers=64, jitter=0.3):
+    c = rng.standard_normal((centers, dim)).astype(np.float32)
+    idx = rng.integers(0, centers, n)
+    return (c[idx] + jitter * rng.standard_normal((n, dim))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def pq_sharded():
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(50)
+    # clustered data: PQ recall is meaningful (gaussian 32d needs no PQ)
+    base = _clustered(rng, 4000, 32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=32, m=8, ef_construction=64, pq=True,
+                   num_subvectors=8)
+    ix_f32 = build_sharded(
+        base, HnswParams(dim=32, m=8, ef_construction=64), mesh, seed=0
+    )
+    ix = quantize_sharded(ix_f32, mesh, quant="pq", seed=0)
+    return ix, ix_f32, base, mesh, p
+
+
+def test_pq_sharded_metadata_and_placement(pq_sharded):
+    ix, ix_f32, base, mesh, p = pq_sharded
+    assert ix.graphs.quant == QUANT_PQ
+    assert ix.graphs.vectors.dtype == jnp.uint8
+    assert ix.graphs.vectors.shape[2] == 8  # codes, not rows
+    # codes and codebook are sharded over the mesh (one copy per device)
+    assert ix.graphs.vectors.sharding.spec[0] == "shard"
+    assert ix.graphs.pq_codebook.sharding.spec[0] == "shard"
+    assert ix.rerank_rows is not None
+    assert ix.rerank_rows.dtype == jnp.bfloat16
+    assert ix.params.pq
+
+
+def test_pq_sharded_beam_search(pq_sharded):
+    """search_sharded over PQ shards: ADC distances in the beam per shard."""
+    ix, ix_f32, base, mesh, p = pq_sharded
+    rng = np.random.default_rng(51)
+    q = jnp.asarray(_clustered(rng, 16, 32))
+    d, gids, labels = search_sharded(ix, q, k=10, ef=64)
+    _, true_ids = exact_search(q, jnp.asarray(base), k=10)
+    rec = _recall(np.asarray(gids), np.asarray(true_ids))
+    assert rec >= 0.45, f"PQ sharded beam recall {rec}"  # raw ADC, no rerank
+
+
+def test_pq_sharded_flat_and_rerank(pq_sharded):
+    """Flat ADC scan per shard; rerank recovers (near-)exact recall."""
+    ix, ix_f32, base, mesh, p = pq_sharded
+    rng = np.random.default_rng(52)
+    q = jnp.asarray(_clustered(rng, 16, 32))
+    _, true_ids = exact_search(q, jnp.asarray(base), k=10)
+
+    _, gids_adc, _ = flat_search_sharded(ix, q, k=10)
+    rec_adc = _recall(np.asarray(gids_adc), np.asarray(true_ids))
+
+    d_rr, gids_rr, labels_rr = flat_search_sharded_rerank(
+        ix, q, k=10, shortlist=64
+    )
+    rec_rr = _recall(np.asarray(gids_rr), np.asarray(true_ids))
+    assert rec_rr >= 0.95, f"PQ sharded rerank recall {rec_rr}"
+    assert rec_rr >= rec_adc - 1e-9
+    # reranked distances are true metric distances (bf16 rows), ascending
+    dd = np.asarray(d_rr)
+    dd = np.where(np.isfinite(dd), dd, np.inf)
+    assert (np.diff(dd, axis=1) >= -1e-5).all()
+
+
+def test_pq_sharded_matches_single_graph_class(pq_sharded):
+    """Sharded PQ rerank recall is in the same class as a single-graph PQ
+    rerank over the identical data/codebook (parity evidence)."""
+    from lantern_tpu.flat import flat_search_graph_rerank
+    from lantern_tpu.graph.device import to_device
+    from lantern_tpu.graph.host_build import HostHnsw
+    from lantern_tpu.quant.pq import PQCodebook
+
+    ix, ix_f32, base, mesh, p = pq_sharded
+    cb = PQCodebook(
+        centroids=np.asarray(jax.device_get(ix.graphs.pq_codebook[0])),
+        rotation=np.asarray(jax.device_get(ix.graphs.pq_rotation[0]))
+        if ix.graphs.pq_rotation is not None else None,
+    )
+    eng = HostHnsw(HnswParams(dim=32, m=8, ef_construction=64),
+                   capacity=len(base), seed=0)
+    eng.add(base[:800])  # small single graph is enough for the comparison
+    g = to_device(eng, pq_codebook=cb)
+    rng = np.random.default_rng(53)
+    q = jnp.asarray(_clustered(rng, 16, 32))
+    rows = jnp.asarray(base[:800], jnp.bfloat16)
+    sqn = jnp.sum(jnp.asarray(base[:800]) ** 2, axis=1)
+    _, ids_single, _ = flat_search_graph_rerank(g, rows, sqn, q, k=10,
+                                                shortlist=64)
+    _, t800 = exact_search(q, jnp.asarray(base[:800]), k=10)
+    rec_single = _recall(np.asarray(ids_single), np.asarray(t800))
+
+    _, true_ids = exact_search(q, jnp.asarray(base), k=10)
+    _, gids_rr, _ = flat_search_sharded_rerank(ix, q, k=10, shortlist=64)
+    rec_sharded = _recall(np.asarray(gids_rr), np.asarray(true_ids))
+    assert rec_sharded >= rec_single - 0.1, (
+        f"sharded {rec_sharded} vs single {rec_single}"
+    )
+
+
+def test_pq_sharded_save_load_roundtrip(pq_sharded, tmp_path):
+    ix, ix_f32, base, mesh, p = pq_sharded
+    d = str(tmp_path / "pq_sharded")
+    save_sharded(ix, d)
+    ix2 = load_sharded(d, mesh)
+    assert ix2.graphs.quant == QUANT_PQ
+    assert ix2.rerank_rows is not None
+    rng = np.random.default_rng(54)
+    q = jnp.asarray(_clustered(rng, 8, 32))
+    d1, g1, _ = flat_search_sharded_rerank(ix, q, k=5, shortlist=32)
+    d2, g2, _ = flat_search_sharded_rerank(ix2, q, k=5, shortlist=32)
+    # codes re-encoded from bf16 rows: results equal on these easy queries
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_pq_sharded_delete_and_compact(pq_sharded, tmp_path):
+    ix, ix_f32, base, mesh, p = pq_sharded
+    q = jnp.asarray(base[:8])
+    dead = np.arange(8, dtype=np.uint64)
+    ix_del = delete_sharded(ix, dead)
+    _, gids, _ = flat_search_sharded_rerank(ix_del, q, k=3, shortlist=32)
+    assert not np.isin(np.asarray(gids), np.arange(8)).any()
+    # compact rebuilds without tombstones, preserving quantization
+    ix_c = compact_sharded(ix_del, mesh, batch=64, seed=2)
+    assert ix_c.graphs.quant == QUANT_PQ
+    assert ix_c.rerank_rows is not None
+    assert int(jax.device_get(ix_c.graphs.num_nodes).sum()) == len(base) - 8
+    _, gids_c, labels_c = flat_search_sharded_rerank(ix_c, q, k=3,
+                                                     shortlist=32)
+    from lantern_tpu.graph.device import join_labels
+
+    # labels are preserved; the deleted labels never surface
+    lab = join_labels(np.asarray(labels_c))
+    assert not np.isin(lab[np.asarray(gids_c) >= 0],
+                       np.arange(8)).any()
+
+
+def test_pq_sharded_insert_raises(pq_sharded):
+    ix, ix_f32, base, mesh, p = pq_sharded
+    with pytest.raises(NotImplementedError):
+        insert_sharded(ix, base[:8], mesh)
+
+
+def test_i8_sharded_beam_and_flat():
+    rng = np.random.default_rng(60)
+    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=64)
+    ix = build_sharded(base, p, mesh, seed=0)
+    ix8 = quantize_sharded(ix, mesh, quant="i8")
+    assert ix8.graphs.vectors.dtype == jnp.int8
+    assert ix8.graphs.vec_scales is not None
+    assert ix8.graphs.vec_scales.sharding.spec[0] == "shard"
+    q = jnp.asarray(rng.standard_normal((16, 24)).astype(np.float32))
+    _, true_ids = exact_search(q, jnp.asarray(base), k=10)
+    _, g_beam, _ = search_sharded(ix8, q, k=10, ef=64)
+    rec_beam = _recall(np.asarray(g_beam), np.asarray(true_ids))
+    assert rec_beam >= 0.85, f"i8 sharded beam recall {rec_beam}"
+    _, g_flat, _ = flat_search_sharded(ix8, q, k=10, exact=True)
+    rec_flat = _recall(np.asarray(g_flat), np.asarray(true_ids))
+    assert rec_flat >= 0.9, f"i8 sharded flat recall {rec_flat}"
+
+
+def test_i8_sharded_save_load_exact(tmp_path):
+    """i8 round-trips exactly: dequantize at save, re-quantize at load."""
+    rng = np.random.default_rng(61)
+    base = rng.standard_normal((800, 16)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix8 = quantize_sharded(build_sharded(base, p, mesh, seed=0), mesh,
+                           quant="i8")
+    d = str(tmp_path / "i8_sharded")
+    save_sharded(ix8, d)
+    ix2 = load_sharded(d, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(ix8.graphs.vectors)),
+        np.asarray(jax.device_get(ix2.graphs.vectors)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(ix8.graphs.vec_scales)),
+        np.asarray(jax.device_get(ix2.graphs.vec_scales)), rtol=1e-6,
+    )
+
+
+def test_quantize_sharded_rejects_double_quant():
+    rng = np.random.default_rng(62)
+    base = rng.standard_normal((800, 16)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix8 = quantize_sharded(build_sharded(base, p, mesh, seed=0), mesh,
+                           quant="i8")
+    with pytest.raises(ValueError, match="already quantized"):
+        quantize_sharded(ix8, mesh, quant="pq")
