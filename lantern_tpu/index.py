@@ -430,24 +430,37 @@ class Index:
         )
         return np.asarray(d), join_labels(np.asarray(labels))
 
+    # static (k, ef) program tiers for the streaming scan: every streaming
+    # call compiles AT MOST these three beam programs per graph shape —
+    # through this environment's 30-90 s compile tunnel, the reference's
+    # literal k-doubling ladder (10 -> 20 -> ... -> 1000, scan.c:240-292,
+    # each step a fresh XLA program) would cost minutes per doubling; a
+    # warm cache re-searches with zero compiles.
+    STREAM_TIERS = (64, 256, 1000)
+
     def search_streaming(self, query: np.ndarray, ef: int | None = None,
                          init_k: int = 10):
         """Generator yielding (dist, label) in ascending order, re-searching
-        with doubled k whenever the consumer wants more rows — the
+        with a larger k whenever the consumer wants more rows — the
         reference's streaming scan semantics (scan.c:240-292: start at
-        lantern_hnsw.init_k, double on exhaustion, hard stop at 1000).
+        lantern_hnsw.init_k, grow on exhaustion, hard stop at 1000), with
+        k quantized to the static STREAM_TIERS so the jit cache is bounded
+        (<= 1 new compile per tier REACHED, ever, per graph shape).
         """
         from lantern_tpu.config import LDB_SCAN_K_MAX
 
-        k = init_k
+        tiers = [t for t in self.STREAM_TIERS if t >= init_k]
+        if not tiers:
+            tiers = [LDB_SCAN_K_MAX]
         seen: set[int] = set()
-        while True:
+        for k in tiers:
+            k = min(k, LDB_SCAN_K_MAX)
             # graph mode: deterministic beam (the reference's streaming IS
             # the graph scan, scan.c:240-292). The flat path's approx_max_k
             # does not guarantee prefix stability across re-searches with a
             # different k, which would duplicate/skip rows; the label
             # dedup below is belt-and-braces on top.
-            d, labels = self.search(query, k=min(k, LDB_SCAN_K_MAX),
+            d, labels = self.search(query, k=k,
                                     ef=max(ef or self.params.ef, k),
                                     mode="graph")
             rows = [
@@ -461,7 +474,6 @@ class Index:
                     yield row
             if k >= LDB_SCAN_K_MAX or len(rows) < k:
                 return  # exhausted the reachable live set or hit the cap
-            k = min(k * 2, LDB_SCAN_K_MAX)
 
     def rows_for_labels(self, labels: np.ndarray) -> np.ndarray:
         """Vectorized label -> internal-row resolution; -1 for unknown labels.

@@ -27,6 +27,30 @@ def test_streaming_exhausts_small_index(rng):
     assert len(rows) == 12  # everything reachable, then stop
 
 
+def test_streaming_no_recompile_ladder(rng):
+    """The streaming scan quantizes k to STREAM_TIERS: consuming far past
+    init_k triggers at most one beam program per tier REACHED, and a second
+    streaming pass on a warm cache compiles NOTHING new (the reference's
+    in-scan resume is cheap, scan.c:240-292; per-doubling recompiles
+    through the compile tunnel would be minutes per step)."""
+    from lantern_tpu.graph.search import search_batched
+
+    base = rng.standard_normal((500, 8)).astype(np.float32)
+    ix = Index(HnswParams(dim=8, m=8, ef_construction=32), capacity=500)
+    ix.add(base)
+    gen = ix.search_streaming(base[7], init_k=4, ef=64)
+    rows = [next(gen) for _ in range(100)]  # crosses the 64-tier into 256
+    assert len({lab for _, lab in rows}) == 100
+    warm = search_batched._cache_size()
+    # a second full consume on the warm cache: ZERO new compiles
+    gen2 = ix.search_streaming(base[8], init_k=4, ef=64)
+    rows2 = [next(gen2) for _ in range(100)]
+    assert len(rows2) == 100
+    assert search_batched._cache_size() == warm
+    # tier quantization bounds the ladder: k values used are from STREAM_TIERS
+    assert set(Index.STREAM_TIERS) == {64, 256, 1000}
+
+
 def test_bench_timers():
     lbench.reset()
     lbench.enable(True)
