@@ -294,3 +294,179 @@ class Daemon:
         """Synchronously drain the queue (for tests/CLI one-shot mode)."""
         while self._step():
             pass
+
+
+# ---- master mode (daemon/mod.rs:217-344) --------------------------------
+
+
+class TargetRegistry:
+    """Master registry of daemon targets — the analog of the reference's
+    master-DB table of target databases (daemon/mod.rs:217-344). A JSON
+    file mapping target id -> {jobs_dir, heartbeat}; edits through add()/
+    remove() are atomic, and the MasterDaemon reacts to file changes (the
+    polled-mtime stand-in for the reference's NOTIFY triggers)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if not os.path.exists(path):
+            self._write({"targets": {}})
+
+    def _write(self, doc: dict):
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self.path)
+
+    def read(self) -> dict:
+        try:
+            with open(self.path) as f:
+                return json.load(f).get("targets", {})
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def add(self, target_id: str, jobs_dir: str,
+            heartbeat: str | None = None):
+        doc = {"targets": self.read()}
+        doc["targets"][target_id] = {
+            "jobs_dir": jobs_dir, "heartbeat": heartbeat,
+        }
+        self._write(doc)
+
+    def remove(self, target_id: str):
+        doc = {"targets": self.read()}
+        doc["targets"].pop(target_id, None)
+        self._write(doc)
+
+
+class MasterDaemon:
+    """Multi-target daemon supervisor (reference master mode).
+
+    Discovers targets from a TargetRegistry, runs one Daemon per target
+    jobs directory, and health-pings each target every ``ping_s`` seconds
+    (reference: 30 s, daemon/mod.rs:240-254): a target is healthy while its
+    heartbeat file's mtime is fresher than ``heartbeat_timeout_s``. On
+    failure the target's daemon stops and ALL its queued/running jobs are
+    canceled (the reference cancels all jobs of a failed target DB); if the
+    heartbeat recovers, a fresh daemon restarts. Targets without a
+    heartbeat path are always considered healthy.
+
+    Registry edits are picked up on the next poll: new targets get a
+    daemon, removed targets are stopped and forgotten (their job files
+    remain on disk, like the reference leaves target tables intact).
+    """
+
+    def __init__(self, registry: TargetRegistry | str, poll_s: float = 0.2,
+                 ping_s: float = 30.0, heartbeat_timeout_s: float | None = None,
+                 daemon_poll_s: float = 0.2, logger: Logger | None = None):
+        self.registry = (registry if isinstance(registry, TargetRegistry)
+                         else TargetRegistry(registry))
+        self.poll_s = poll_s
+        self.ping_s = ping_s
+        self.heartbeat_timeout_s = (
+            heartbeat_timeout_s if heartbeat_timeout_s is not None
+            else 2.0 * ping_s
+        )
+        self.daemon_poll_s = daemon_poll_s
+        self.log = logger or Logger("master-daemon")
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._targets: dict[str, dict] = {}  # id -> {daemon, spec, healthy}
+        self._last_ping = 0.0
+        self._lock = threading.Lock()
+
+    # ---- health ----
+    def _healthy(self, spec: dict) -> bool:
+        hb = spec.get("heartbeat")
+        if not hb:
+            return True
+        try:
+            age = time.time() - os.path.getmtime(hb)
+        except OSError:
+            return False
+        return age <= self.heartbeat_timeout_s
+
+    def _cancel_all(self, target_id: str, queue: JobQueue):
+        n = 0
+        for job in queue.list():
+            if job["status"] in ("queued", "running"):
+                queue.cancel(job["id"])
+                n += 1
+        self.log.warn(
+            f"target {target_id} unhealthy: canceled {n} job(s)"
+        )
+
+    # ---- supervision loop ----
+    def _sync_targets(self):
+        wanted = self.registry.read()
+        with self._lock:
+            # removed targets: stop their daemons (jobs files remain)
+            for tid in list(self._targets):
+                if tid not in wanted:
+                    self._targets.pop(tid)["daemon"].stop()
+                    self.log.info(f"target {tid} removed")
+            # new targets: spawn a daemon each
+            for tid, spec in wanted.items():
+                cur = self._targets.get(tid)
+                if cur is None:
+                    q = JobQueue(spec["jobs_dir"])
+                    d = Daemon(q, poll_s=self.daemon_poll_s,
+                               logger=Logger(f"daemon[{tid}]")).start()
+                    self._targets[tid] = {
+                        "daemon": d, "queue": q, "spec": spec,
+                        "healthy": True,
+                    }
+                    self.log.info(f"target {tid} discovered")
+                else:
+                    cur["spec"] = spec
+
+    def _ping_targets(self):
+        with self._lock:
+            for tid, t in self._targets.items():
+                ok = self._healthy(t["spec"])
+                if t["healthy"] and not ok:
+                    # failure: stop the daemon, cancel every job
+                    t["daemon"].stop()
+                    self._cancel_all(tid, t["queue"])
+                    t["healthy"] = False
+                elif not t["healthy"] and ok:
+                    # recovery: fresh daemon (reference reconnect+backoff)
+                    t["daemon"] = Daemon(
+                        t["queue"], poll_s=self.daemon_poll_s,
+                        logger=Logger(f"daemon[{tid}]"),
+                    ).start()
+                    t["healthy"] = True
+                    self.log.info(f"target {tid} recovered")
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._sync_targets()
+            now = time.time()
+            if now - self._last_ping >= self.ping_s:
+                self._last_ping = now
+                self._ping_targets()
+            self._stop.wait(self.poll_s)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(10)
+        with self._lock:
+            for t in self._targets.values():
+                t["daemon"].stop()
+
+    def status(self) -> dict:
+        with self._lock:
+            return {
+                tid: {
+                    "healthy": t["healthy"],
+                    "jobs": {
+                        j["id"]: j["status"] for j in t["queue"].list()
+                    },
+                }
+                for tid, t in self._targets.items()
+            }

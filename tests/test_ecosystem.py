@@ -533,3 +533,114 @@ def test_http_hamming_collection(api, rng):
     assert res["results"][0]["i"] == 9
     assert res["results"][0]["distance"] == 0.0
     _req("DELETE", base + "/collections/bits")
+
+
+def test_master_daemon_lifecycle(tmp_path):
+    """Master mode (daemon/mod.rs:217-344): add target -> jobs run; kill the
+    target's heartbeat -> all its jobs canceled within a ping; remove the
+    target -> daemon stopped and forgotten."""
+    import pathlib
+    import time
+
+    import numpy as np
+
+    from lantern_tpu.service.daemon import (
+        JobQueue,
+        MasterDaemon,
+        TargetRegistry,
+    )
+
+    reg = TargetRegistry(str(tmp_path / "registry.json"))
+    md = MasterDaemon(reg, poll_s=0.02, ping_s=0.05,
+                      heartbeat_timeout_s=0.3, daemon_poll_s=0.02).start()
+    try:
+        # --- add a target with a live heartbeat: its jobs run ---
+        jobs_a = str(tmp_path / "a_jobs")
+        hb_a = tmp_path / "a.heartbeat"
+        hb_a.touch()
+        reg.add("a", jobs_a, heartbeat=str(hb_a))
+        inp = tmp_path / "texts.txt"
+        inp.write_text("hello\nworld\n")
+        deadline = time.time() + 5
+        while "a" not in md.status() and time.time() < deadline:
+            time.sleep(0.02)
+        qa = JobQueue(jobs_a)
+        jid = qa.submit("embedding", {"input": str(inp),
+                                      "output": str(tmp_path / "a_out.npy")})
+        while qa.get(jid)["status"] != "completed" and time.time() < deadline:
+            hb_a.touch()  # keep the target healthy while the job runs
+            time.sleep(0.02)
+        assert qa.get(jid)["status"] == "completed"
+        assert np.load(str(tmp_path / "a_out.npy")).shape[0] == 2
+
+        # --- heartbeat goes stale: queued jobs canceled within a ping ---
+        j2 = qa.submit("embedding", {"input": str(inp),
+                                     "output": str(tmp_path / "a2.npy")})
+        # let the stale timeout elapse without touching the heartbeat;
+        # meanwhile block new claims by submitting AFTER staleness:
+        time.sleep(0.35)
+        deadline = time.time() + 5
+        while md.status().get("a", {}).get("healthy", True) \
+                and time.time() < deadline:
+            time.sleep(0.02)
+        st = md.status()["a"]
+        assert st["healthy"] is False
+        deadline = time.time() + 2
+        while qa.get(j2)["status"] not in ("canceled", "completed") \
+                and time.time() < deadline:
+            time.sleep(0.02)
+        assert qa.get(j2)["status"] in ("canceled", "completed")
+        # jobs submitted while unhealthy do NOT run (no daemon claims them)
+        j3 = qa.submit("embedding", {"input": str(inp),
+                                     "output": str(tmp_path / "a3.npy")})
+        time.sleep(0.2)
+        assert qa.get(j3)["status"] == "queued"
+
+        # --- heartbeat recovers: a fresh daemon resumes the target ---
+        hb_a.touch()
+        deadline = time.time() + 5
+        while qa.get(j3)["status"] != "completed" and time.time() < deadline:
+            hb_a.touch()
+            time.sleep(0.02)
+        assert qa.get(j3)["status"] == "completed"
+        assert md.status()["a"]["healthy"] is True
+
+        # --- remove the target: supervisor forgets it ---
+        reg.remove("a")
+        deadline = time.time() + 5
+        while "a" in md.status() and time.time() < deadline:
+            time.sleep(0.02)
+        assert "a" not in md.status()
+        # job files remain on disk (reference leaves target tables intact)
+        assert pathlib.Path(jobs_a).exists()
+    finally:
+        md.stop()
+
+
+def test_master_daemon_no_heartbeat_always_healthy(tmp_path):
+    from lantern_tpu.service.daemon import (
+        JobQueue,
+        MasterDaemon,
+        TargetRegistry,
+    )
+    import time
+
+    reg = TargetRegistry(str(tmp_path / "registry.json"))
+    reg.add("t", str(tmp_path / "t_jobs"))  # no heartbeat path
+    md = MasterDaemon(reg, poll_s=0.02, ping_s=0.03,
+                      daemon_poll_s=0.02).start()
+    try:
+        inp = tmp_path / "in.txt"
+        inp.write_text("x\n")
+        deadline = time.time() + 5
+        while "t" not in md.status() and time.time() < deadline:
+            time.sleep(0.02)
+        q = JobQueue(str(tmp_path / "t_jobs"))
+        jid = q.submit("embedding", {"input": str(inp),
+                                     "output": str(tmp_path / "o.npy")})
+        while q.get(jid)["status"] != "completed" and time.time() < deadline:
+            time.sleep(0.02)
+        assert q.get(jid)["status"] == "completed"
+        assert md.status()["t"]["healthy"] is True
+    finally:
+        md.stop()
