@@ -94,6 +94,21 @@ def _cmd_start_server(args):
 
 
 def _cmd_start_daemon(args):
+    if not args.master_registry and not args.queue_dir:
+        raise SystemExit("start-daemon needs --queue-dir or --master-registry")
+    if args.master_registry:
+        # master mode: discover targets from the registry, one daemon per
+        # target, health-ping canceling a failed target's jobs
+        # (daemon/mod.rs:217-344)
+        from lantern_tpu.service.daemon import MasterDaemon
+
+        md = MasterDaemon(
+            args.master_registry, ping_s=args.ping_interval,
+            daemon_poll_s=args.poll_interval,
+        ).start()
+        print(f"master daemon over {args.master_registry}", flush=True)
+        _serve_forever(lambda: md.stop())
+        return
     from lantern_tpu.service.daemon import Daemon, JobQueue
 
     q = JobQueue(args.queue_dir)
@@ -142,8 +157,47 @@ def _cmd_autotune_index(args):
 
 
 def _cmd_pq_table(args):
-    from lantern_tpu.quant.pq import pq_encode, train_codebook
+    from lantern_tpu.quant.pq import (
+        pq_encode,
+        train_codebook,
+        train_codebook_chunked,
+    )
 
+    # stream when the input is an .fvecs file, or when --chunk-rows asks
+    # for bounded-memory training over an .npy (memory-mapped)
+    streamed = args.input.endswith((".fvecs", ".fvecs.gz")) or (
+        bool(args.chunk_rows) and args.input.endswith(".npy")
+    )
+    if streamed:
+        # chunked/resumable path: never materializes the dataset (the
+        # reference's resumable GCP-shardable pipeline, pq/cli.rs:83-137)
+        first_dim = None
+        from lantern_tpu.quant.pq import _chunk_factory
+
+        for blk in _chunk_factory(args.input, max(args.chunk_rows or 65536, 8))():
+            first_dim = blk.shape[1]
+            break
+        if first_dim is None:
+            raise SystemExit("empty dataset")
+        nsub = args.splits or max(
+            (s for s in range(1, max(1, first_dim // 4) + 1)
+             if first_dim % s == 0),
+            default=1,
+        )
+        cb = train_codebook_chunked(
+            args.input, num_subvectors=nsub, num_centroids=args.clusters,
+            seed=args.seed, rotate=args.rotate, resume_path=args.resume,
+            chunk_rows=args.chunk_rows or 65536, iters=args.iters,
+        )
+        # encode in chunks too (codes stream to the output incrementally)
+        chunks = _chunk_factory(args.input, args.chunk_rows or 65536)
+        codes = np.concatenate([pq_encode(blk, cb) for blk in chunks()])
+        np.savez(args.output, codebook=cb.centroids, codes=codes,
+                 rotation=(cb.rotation if cb.rotation is not None
+                           else np.zeros(0, np.float32)))
+        print(f"codebook {cb.centroids.shape}, codes {codes.shape} "
+              f"-> {args.output} (chunked)")
+        return
     vectors = np.load(args.input).astype(np.float32)
     dim = vectors.shape[1]
     # default: the largest divisor of dim <= dim//4 (dim//4 verbatim need
@@ -155,7 +209,8 @@ def _cmd_pq_table(args):
             default=1,
         )
     cb = train_codebook(vectors, num_subvectors=nsub,
-                        num_centroids=args.clusters, seed=args.seed)
+                        num_centroids=args.clusters, seed=args.seed,
+                        rotate=args.rotate)
     codes = pq_encode(vectors, cb)
     np.savez(args.output, codebook=cb.centroids, codes=codes)
     print(f"codebook {cb.centroids.shape}, codes {codes.shape} -> {args.output}")
@@ -243,8 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=_cmd_start_server)
 
     s = sub.add_parser("start-daemon")
-    s.add_argument("--queue-dir", required=True)
+    s.add_argument("--queue-dir",
+                   help="single-target mode: the jobs directory to watch")
+    s.add_argument("--master-registry",
+                   help="master mode: JSON registry of targets "
+                        "(id -> jobs_dir + heartbeat file)")
     s.add_argument("--poll-interval", type=float, default=1.0)
+    s.add_argument("--ping-interval", type=float, default=30.0,
+                   help="master mode health-ping period (reference: 30 s)")
     s.set_defaults(fn=_cmd_start_daemon)
 
     s = sub.add_parser("autotune-index")
@@ -272,11 +333,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=_cmd_start_bgworkers)
 
     s = sub.add_parser("pq-table")
-    s.add_argument("--input", required=True, help=".npy dataset")
+    s.add_argument("--input", required=True,
+                   help=".npy dataset, or .fvecs(.gz) for streamed training")
     s.add_argument("--output", required=True, help=".npz codebook+codes")
     s.add_argument("--clusters", type=int, default=256)
     s.add_argument("--splits", type=int, default=0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--rotate", action="store_true",
+                   help="learn an OPQ rotation (better recall, same bytes)")
+    s.add_argument("--iters", type=int, default=8,
+                   help="Lloyd passes (chunked path)")
+    s.add_argument("--chunk-rows", type=int, default=0,
+                   help="stream the dataset in row chunks of this size "
+                        "(bounded-memory training; .npy is memory-mapped)")
+    s.add_argument("--resume", default=None,
+                   help="state file: training checkpoints after every pass "
+                        "and resumes from it after a kill")
     s.set_defaults(fn=_cmd_pq_table)
 
     s = sub.add_parser("create-embeddings")

@@ -55,6 +55,50 @@ def parse_bvecs(path_or_bytes, count: int | None = None) -> np.ndarray:
     return _parse(_open(path_or_bytes), np.uint8, count)
 
 
+def iter_fvecs(path, chunk_rows: int = 65536):
+    """Stream an .fvecs(.gz) file as successive [<=chunk_rows, dim] float32
+    blocks WITHOUT materializing the dataset (gzip decompresses
+    sequentially). The streaming producer for chunked PQ training — the
+    analog of the reference's parallel row fetch over N connections
+    (codebook.rs:168-211) for tables that don't fit in RAM.
+    """
+    opener = gzip.open if str(path).endswith(".gz") else open
+    rec = None
+    dim = None
+    buf = b""
+    with opener(path, "rb") as f:
+        while True:
+            want = (rec or 4 + 4) * chunk_rows
+            data = f.read(max(want - len(buf), 1 << 16))
+            eof = not data
+            buf += data
+            if rec is None:
+                if len(buf) < 4:
+                    if eof and buf:
+                        raise ValueError("truncated fvecs header")
+                    if eof:
+                        return
+                    continue
+                dim = int(np.frombuffer(buf[:4], "<i4")[0])
+                if dim <= 0:
+                    raise ValueError(f"invalid record dimension {dim}")
+                rec = 4 + dim * 4
+            while len(buf) >= rec:
+                nfull = min(len(buf) // rec, chunk_rows)
+                take = np.frombuffer(buf[: nfull * rec], np.uint8).reshape(
+                    nfull, rec
+                )
+                dims = take[:, :4].copy().view("<i4").ravel()
+                if (dims != dim).any():
+                    raise ValueError("inconsistent record dimensions")
+                yield take[:, 4:].copy().view("<f4").reshape(nfull, dim)
+                buf = buf[nfull * rec:]
+            if eof:
+                if buf:
+                    raise ValueError("truncated trailing fvecs record")
+                return
+
+
 def write_fvecs(path: str, data: np.ndarray):
     data = np.ascontiguousarray(data, np.float32)
     n, dim = data.shape

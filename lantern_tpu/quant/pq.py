@@ -197,6 +197,194 @@ def train_codebook(
     return PQCodebook(centroids=np.asarray(cent))
 
 
+@functools.partial(jax.jit, static_argnames=("want_xty",))
+def _chunk_stats(x, mask, cent, rot, want_xty: bool):
+    """One streamed Lloyd pass step over a row chunk.
+
+    x [B, dim] f32 (pad rows arbitrary), mask [B] f32 (0 = pad),
+    cent [S, K, dsub], rot [dim, dim] or None ->
+    (sums [S, K, dsub], counts [S, K], xty [dim, dim] or 0).
+    lax.scan over subspaces bounds the one-hot at [B, K] (the streaming
+    analog of _assign_decode); all contractions ride the MXU.
+    """
+    n, dim = x.shape
+    s, k, dsub = cent.shape
+    xr = x if rot is None else jnp.dot(x, rot, preferred_element_type=jnp.float32)
+    xs = xr.reshape(n, s, dsub).transpose(1, 0, 2)  # [S, B, dsub]
+
+    def one(carry, sc):
+        xsub, c = sc  # [B, dsub], [K, dsub]
+        c_sq = jnp.sum(c * c, axis=1)
+        dots = jnp.dot(xsub, c.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmin(c_sq[None] - 2.0 * dots, axis=1)
+        oh = jax.nn.one_hot(assign, k, dtype=jnp.float32) * mask[:, None]
+        cnt = jnp.sum(oh, axis=0)                     # [K]
+        sm = jnp.dot(oh.T, xsub, preferred_element_type=jnp.float32)
+        dec = jnp.dot(
+            jax.nn.one_hot(assign, k, dtype=jnp.bfloat16),
+            c.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        )                                             # [B, dsub]
+        return carry, (sm, cnt, dec)
+
+    _, (sums, counts, decs) = jax.lax.scan(one, 0, (xs, cent))
+    if want_xty:
+        y = decs.transpose(1, 0, 2).reshape(n, dim)   # rotated-space recon
+        xty = jnp.dot(
+            (x * mask[:, None]).T, y, preferred_element_type=jnp.float32
+        )
+    else:
+        xty = jnp.zeros((), jnp.float32)
+    return sums, counts, xty
+
+
+def train_codebook_chunked(
+    chunks,
+    num_subvectors: int,
+    num_centroids: int = 256,
+    iters: int = 8,
+    seed: int = 0,
+    rotate: bool = False,
+    resume_path: str | None = None,
+    chunk_rows: int = 65536,
+) -> PQCodebook:
+    """Streamed/resumable PQ training: exact Lloyd iterations over row
+    chunks, never holding the dataset in memory.
+
+    ``chunks`` is re-iterable row storage: a ``.fvecs``/``.fvecs.gz`` path
+    (streamed via io.dotvecs.iter_fvecs), a ``.npy`` path (memory-mapped),
+    or a zero-arg callable returning an iterator of [B, dim] float32
+    blocks (one fresh iterator per pass).
+
+    Each pass accumulates per-subspace assignment sums/counts (and, with
+    ``rotate=True``, the X^T Y cross matrix for the orthogonal Procrustes
+    rotation update) chunk by chunk in one jitted step per chunk; the
+    centroid/rotation update happens at pass end, so the math is EXACTLY
+    in-RAM Lloyd/OPQ — not an approximation — at O(chunk) memory.
+
+    ``resume_path``: after every pass the full training state is written
+    atomically (tmp + rename). Re-running with the same arguments resumes
+    from the last completed pass and produces bit-identical results — the
+    analog of the reference's resumable PQ task sharding
+    (codebook.rs:168-278, --subvector-id / skip flags in pq/cli.rs:83-137;
+    here the subvector axis is vmapped on one device, so the resume unit
+    is the data pass instead).
+    """
+    import os
+
+    if num_centroids > 256:
+        raise ValueError("codes are uint8; num_centroids must be <= 256")
+    factory = _chunk_factory(chunks, chunk_rows)
+
+    start_pass = 0
+    cent = rot = None
+    if resume_path and os.path.exists(resume_path):
+        with np.load(resume_path, allow_pickle=False) as st:
+            if int(st["seed"]) != seed or int(st["num_centroids"]) != num_centroids \
+                    or int(st["num_subvectors"]) != num_subvectors:
+                raise ValueError(
+                    "resume state does not match the training arguments"
+                )
+            cent = st["centroids"].copy()
+            rot = st["rotation"].copy() if bool(st["has_rotation"]) else None
+            start_pass = int(st["next_pass"])
+
+    first = None
+    if cent is None:
+        # init: random rows from the first chunk(s) (the reference's random
+        # sample init, product_quantization.c:51-70)
+        rows = []
+        got = 0
+        for blk in factory():
+            rows.append(np.asarray(blk, np.float32))
+            got += len(blk)
+            if got >= max(num_centroids, 4096):
+                break
+        if not rows:
+            raise ValueError("empty training stream")
+        first = np.concatenate(rows)[: max(num_centroids, 4096)]
+        n0, dim = first.shape
+        if dim % num_subvectors:
+            raise ValueError(
+                f"dim {dim} not divisible by num_subvectors {num_subvectors}"
+            )
+        dsub = dim // num_subvectors
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(n0, num_centroids, replace=n0 < num_centroids)
+        cent = (
+            first[idx].reshape(num_centroids, num_subvectors, dsub)
+            .transpose(1, 0, 2).copy()
+        )
+        rot = np.eye(dim, dtype=np.float32) if rotate else None
+
+    dim = cent.shape[0] * cent.shape[2]
+    for p in range(start_pass, iters):
+        sums = np.zeros(cent.shape, np.float32)
+        counts = np.zeros(cent.shape[:2], np.float32)
+        xty = np.zeros((dim, dim), np.float32)
+        cent_dev = jnp.asarray(cent)
+        rot_dev = jnp.asarray(rot) if rot is not None else None
+        for blk in factory():
+            blk = np.ascontiguousarray(blk, np.float32)
+            b = len(blk)
+            bpad = max(8, 1 << int(np.ceil(np.log2(b))))  # bound jit shapes
+            if bpad != b:
+                blk = np.concatenate(
+                    [blk, np.zeros((bpad - b, dim), np.float32)]
+                )
+            mask = np.zeros(bpad, np.float32)
+            mask[:b] = 1.0
+            sm, cnt, xy = _chunk_stats(
+                jnp.asarray(blk), jnp.asarray(mask), cent_dev, rot_dev,
+                rotate,
+            )
+            sums += np.asarray(sm)
+            counts += np.asarray(cnt)
+            if rotate:
+                xty += np.asarray(xy)
+        new = sums / np.maximum(counts, 1.0)[:, :, None]
+        cent = np.where((counts > 0)[:, :, None], new, cent).astype(np.float32)
+        if rotate:
+            u, _, vt = np.linalg.svd(xty, full_matrices=False)
+            rot = (u @ vt).astype(np.float32)
+        if resume_path:
+            tmp = resume_path + ".tmp"
+            np.savez(
+                tmp if not tmp.endswith(".npz") else tmp,
+                centroids=cent,
+                rotation=rot if rot is not None else np.zeros(0, np.float32),
+                has_rotation=rot is not None,
+                next_pass=p + 1,
+                seed=seed,
+                num_centroids=num_centroids,
+                num_subvectors=num_subvectors,
+            )
+            # np.savez appends .npz when missing — normalize before rename
+            src = tmp if os.path.exists(tmp) else tmp + ".npz"
+            os.replace(src, resume_path)
+    return PQCodebook(centroids=cent, rotation=rot)
+
+
+def _chunk_factory(chunks, chunk_rows: int):
+    """Normalize the chunk source to a zero-arg re-iterable factory."""
+    if callable(chunks):
+        return chunks
+    path = str(chunks)
+    if path.endswith((".fvecs", ".fvecs.gz")):
+        from lantern_tpu.io.dotvecs import iter_fvecs
+
+        return lambda: iter_fvecs(path, chunk_rows)
+    if path.endswith(".npy"):
+        def npy_iter():
+            mm = np.load(path, mmap_mode="r")
+            for i in range(0, len(mm), chunk_rows):
+                yield np.asarray(mm[i : i + chunk_rows], np.float32)
+
+        return npy_iter
+    raise ValueError(
+        "chunks must be a callable, an .fvecs(.gz) path, or an .npy path"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _encode_jit(data, centroids, rotation=None):
     n, dim = data.shape

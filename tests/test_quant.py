@@ -288,3 +288,114 @@ def test_opq_index_end_to_end_with_snapshot_and_insert(rng, tmp_path):
     assert g2.pq_rotation is not None
     codes_tail = np.asarray(g2.vectors)[900:964]
     np.testing.assert_array_equal(codes_tail, pq_encode(extra, ix._codebook))
+
+
+# ---- chunked/resumable PQ training (codebook.rs:168-278 analog) ---------
+
+
+def _mse(x, cb):
+    from lantern_tpu.quant.pq import pq_decode, pq_encode
+
+    return float(np.mean((pq_decode(pq_encode(x, cb), cb) - x) ** 2))
+
+
+def test_chunked_training_matches_in_ram(rng):
+    """Streamed Lloyd == in-RAM Lloyd quality (the chunk accumulation is
+    exact, not mini-batch approximate)."""
+    from lantern_tpu.quant.pq import train_codebook, train_codebook_chunked
+
+    x = rng.standard_normal((2048, 32)).astype(np.float32)
+    loads = []
+
+    def chunks():
+        loads.append(0)
+        for i in range(0, len(x), 300):  # uneven chunks incl. short tail
+            yield x[i : i + 300]
+
+    cb_chunked = train_codebook_chunked(
+        chunks, num_subvectors=8, num_centroids=32, iters=8, seed=0
+    )
+    cb_ram = train_codebook(x, num_subvectors=8, num_centroids=32, iters=8,
+                            seed=0)
+    m_chunked, m_ram = _mse(x, cb_chunked), _mse(x, cb_ram)
+    assert m_chunked <= m_ram * 1.15, (m_chunked, m_ram)
+    assert len(loads) >= 8  # one fresh pass per iteration — streamed
+
+
+def test_chunked_training_resume_bit_identical(rng, tmp_path):
+    """Kill after 3 passes -> resume -> same codebook as an uninterrupted
+    run (pass-granular checkpoint, atomic rename)."""
+    from lantern_tpu.quant.pq import train_codebook_chunked
+
+    x = rng.standard_normal((1024, 16)).astype(np.float32)
+
+    def chunks():
+        for i in range(0, len(x), 200):
+            yield x[i : i + 200]
+
+    full = train_codebook_chunked(chunks, 4, 16, iters=6, seed=1)
+    st = str(tmp_path / "pqtrain.state")
+    # "crash" after 3 passes: run with iters=3, state saved at pass 3
+    train_codebook_chunked(chunks, 4, 16, iters=3, seed=1, resume_path=st)
+    resumed = train_codebook_chunked(chunks, 4, 16, iters=6, seed=1,
+                                     resume_path=st)
+    np.testing.assert_array_equal(full.centroids, resumed.centroids)
+
+
+def test_chunked_training_resume_rejects_mismatched_args(rng, tmp_path):
+    from lantern_tpu.quant.pq import train_codebook_chunked
+
+    x = rng.standard_normal((256, 16)).astype(np.float32)
+
+    def chunks():
+        yield x
+
+    st = str(tmp_path / "s.state")
+    train_codebook_chunked(chunks, 4, 16, iters=1, seed=1, resume_path=st)
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match"):
+        train_codebook_chunked(chunks, 4, 16, iters=2, seed=2, resume_path=st)
+
+
+def test_chunked_opq_rotation(rng):
+    """rotate=True streams the Procrustes cross-matrix too; the rotation is
+    orthogonal and helps on correlated data."""
+    from lantern_tpu.quant.pq import train_codebook_chunked
+
+    z = rng.standard_normal((2048, 8)).astype(np.float32)
+    mix = rng.standard_normal((8, 32)).astype(np.float32)
+    x = (z @ mix).astype(np.float32)  # rank-8 embedded in 32d: correlated
+
+    def chunks():
+        for i in range(0, len(x), 512):
+            yield x[i : i + 512]
+
+    cb_rot = train_codebook_chunked(chunks, 8, 32, iters=6, seed=0,
+                                    rotate=True)
+    cb_plain = train_codebook_chunked(chunks, 8, 32, iters=6, seed=0)
+    r = cb_rot.rotation
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
+    assert _mse(x, cb_rot) <= _mse(x, cb_plain) * 1.05
+
+
+def test_chunked_training_from_fvecs(rng, tmp_path):
+    """End-to-end: stream an .fvecs.gz file that is never fully loaded."""
+    import gzip
+
+    from lantern_tpu.io.dotvecs import iter_fvecs, parse_fvecs, write_fvecs
+    from lantern_tpu.quant.pq import train_codebook_chunked
+
+    x = rng.standard_normal((1500, 16)).astype(np.float32)
+    raw_path = str(tmp_path / "train.fvecs")
+    write_fvecs(raw_path, x)
+    gz_path = raw_path + ".gz"
+    with open(raw_path, "rb") as f, gzip.open(gz_path, "wb") as g:
+        g.write(f.read())
+    # the streaming reader reproduces the batch parser exactly
+    np.testing.assert_array_equal(
+        np.concatenate(list(iter_fvecs(gz_path, 400))), parse_fvecs(gz_path)
+    )
+    cb = train_codebook_chunked(gz_path, 4, 16, iters=4, seed=0,
+                                chunk_rows=400)
+    assert _mse(x, cb) < float(np.mean(x**2))  # better than zero codebook
