@@ -24,12 +24,16 @@ import jax.numpy as jnp
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/lantern_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001
-        pass
+    # the package sets a machine-fingerprinted cache dir on import;
+    # honor an explicit JAX_CACHE_DIR override only
+    if os.environ.get("JAX_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001
+            pass
     from lantern_tpu.flat import flat_search
 
     # 32 in-jit iterations amortize the fixed ~40 ms tunnel dispatch cost

@@ -35,15 +35,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/lantern_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001
-        pass
+    # the package sets a machine-fingerprinted cache dir on import;
+    # honor an explicit JAX_CACHE_DIR override only
+    if os.environ.get("JAX_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_CACHE_DIR"])
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001
+            pass
     from lantern_tpu.flat import (flat_search, flat_search_pq,
                                   flat_search_pq_rerank)
-    from lantern_tpu.quant.pq import _encode_jit, _train_jit
+    from lantern_tpu.quant.pq import _encode_jit, _train_jit, _train_opq_jit
 
     # 64 in-jit iterations: each loop dispatch through the tunnel costs a
     # fixed ~40 ms, so short scans report RTT, not device throughput
@@ -107,32 +111,46 @@ def main():
         "recall": recall(flat_search(base_bf, sq, queries, k=10, block=BLK)[1]),
         "bytes_per_vector": dim * 2,
     }
+    # rotate=True: OPQ learned rotation (clustered 960-d data is heavily
+    # correlated across dims — exactly where the rotation pays; same code
+    # bytes, same scan cost + one [q, dim] @ [dim, dim] query rotation)
+    use_opq = os.environ.get("PQ960_OPQ", "1") != "0"
     for nsub in (240, 120):
-        _stage(f"pq{nsub} train")
-        cents = _train_jit(base[:100_000], 0, nsub, 256, 10)
-        codes = _encode_jit(base, cents)
+        _stage(f"pq{nsub} train (opq={use_opq})")
+        if use_opq:
+            cents, rot = _train_opq_jit(base[:100_000], 0, nsub, 256, 10, 8)
+        else:
+            cents, rot = _train_jit(base[:100_000], 0, nsub, 256, 10), None
+        codes = _encode_jit(base, cents, rot)
         _stage(f"pq{nsub} scan")
         out["configs"][f"pq{nsub}"] = {
             "qps": round(timed(
-                lambda qb, c, ct: flat_search_pq(c, ct, qb, k=10, block=BLK)[0],
+                lambda qb, c, ct: flat_search_pq(c, ct, qb, k=10, block=BLK,
+                                                 rotation=rot)[0],
                 codes, cents,
             ), 1),
             "recall_vs_f32_truth": recall(
-                flat_search_pq(codes, cents, queries, k=10, block=BLK)[1]
+                flat_search_pq(codes, cents, queries, k=10, block=BLK,
+                               rotation=rot)[1]
             ),
             "bytes_per_vector": nsub,
             "compression_vs_f32": round(dim * 4 / nsub, 1),
+            "opq": use_opq,
         }
-        _stage(f"pq{nsub} rerank")
-        out["configs"][f"pq{nsub}_rerank100"] = {
-            "qps": round(timed(
-                lambda qb, c, ct, b, sn: flat_search_pq_rerank(
-                    c, ct, b, sn, qb, k=10, shortlist=100)[0],
-                codes, cents, base_bf, sq,
-            ), 1),
-            "recall": recall(flat_search_pq_rerank(
-                codes, cents, base_bf, sq, queries, k=10, shortlist=100)[1]),
-        }
+        for short in (100, 300):
+            _stage(f"pq{nsub} rerank{short}")
+            out["configs"][f"pq{nsub}_rerank{short}"] = {
+                "qps": round(timed(
+                    lambda qb, c, ct, b, sn, short=short:
+                        flat_search_pq_rerank(
+                            c, ct, b, sn, qb, k=10, shortlist=short,
+                            rotation=rot)[0],
+                    codes, cents, base_bf, sq,
+                ), 1),
+                "recall": recall(flat_search_pq_rerank(
+                    codes, cents, base_bf, sq, queries, k=10,
+                    shortlist=short, rotation=rot)[1]),
+            }
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
     try:
