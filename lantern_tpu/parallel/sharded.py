@@ -996,13 +996,10 @@ def insert_sharded(
     from lantern_tpu.graph.host_build import LMAX
     from lantern_tpu.graph.device import split_labels as _split
 
+    from lantern_tpu.graph.device import QUANT_PQ
+
     if index.params is None:
         raise ValueError("ShardedIndex has no params; cannot insert")
-    if index.graphs.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
-        raise NotImplementedError(
-            "insert into a quantized ShardedIndex is not supported yet; "
-            "insert before quantize_sharded, or compact_sharded to rebuild"
-        )
     if index.graphs.upper_ids is None:
         raise ValueError(
             "insert_sharded requires graphs.upper_ids (all lantern_tpu "
@@ -1011,12 +1008,45 @@ def insert_sharded(
     params = index.params
     g = index.graphs
     metric = Metric(g.metric)
+    # quantized shards (PQ / i8): the insert rounds run over an f32 view of
+    # the STORED geometry (decoded centroids resp. dequantized codes —
+    # what the quantized searches measure), rebuilt per shard on its own
+    # device, and the storage re-encodes at the end (exact round trip for
+    # existing rows; incoming rows are snapped first for PQ). Same
+    # semantics as the single-chip device_insert PQ/i8 path.
+    quant_mode = None
+    if g.quant == QUANT_PQ:
+        quant_mode = "pq"
+    elif g.quant == int(QuantKind.I8):
+        quant_mode = "i8"
+    elif g.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
+        raise NotImplementedError(
+            f"insert into a quant={g.quant} ShardedIndex is not supported"
+        )
     np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
     vectors = np.ascontiguousarray(vectors, np_dtype)
     b, width = vectors.shape
     s, cap = g.vectors.shape[0], g.vectors.shape[1]
     m = g.m
     max_in = max(4, m // 2)
+
+    codebook = None
+    true_rows = None
+    if quant_mode == "pq":
+        from lantern_tpu.quant.pq import pq_encode
+
+        codebook = _sharded_codebook(index)
+        if codebook is None or codebook.dim != width:
+            raise ValueError("PQ shard codebook missing or dim mismatch")
+        # snap incoming rows to their centroids in the ROTATED space — the
+        # new edges are built over exactly what will be stored, and the
+        # final re-encode of these rows is the identity
+        true_rows = vectors.copy()  # original-space rows (rerank source)
+        codes_new = pq_encode(vectors, codebook)
+        cb_c = codebook.centroids
+        vectors = cb_c[
+            np.arange(cb_c.shape[0])[None, :], codes_new
+        ].reshape(b, width).astype(np.float32)
 
     # --- small device fetches: counts, per-shard upper-slot highwater ---
     nn = np.asarray(jax.device_get(g.num_nodes)).astype(np.int64)  # [S]
@@ -1054,6 +1084,10 @@ def insert_sharded(
     gid_blk = np.full((s, bpad), -1, np.int32)
     dele_blk = np.ones((s, bpad), bool)  # lanes beyond b_si stay tombstoned
     add_si = np.zeros(s, np.int64)
+    with_rerank = quant_mode == "pq" and index.rerank_rows is not None
+    if with_rerank:
+        true_blk = np.zeros((s, bpad, width), np.float32)
+        true_sq_blk = np.zeros((s, bpad), np.float32)
     for si in range(s):
         mine = owner == si
         k = int(b_si[si])
@@ -1063,6 +1097,11 @@ def insert_sharded(
         if metric != Metric.HAMMING:
             vf = rows_np[si, :k].astype(np.float32)
             sq_np[si, :k] = np.einsum("nd,nd->n", vf, vf)
+        if with_rerank:
+            true_blk[si, :k] = true_rows[mine]
+            true_sq_blk[si, :k] = np.einsum(
+                "nd,nd->n", true_blk[si, :k], true_blk[si, :k]
+            )
         lvs = lv_all[mine]
         lvl_blk[si, :k] = lvs
         has = lvs >= 1
@@ -1159,13 +1198,38 @@ def insert_sharded(
         return vec2, sq2, nbr2, up2, uslot2, lvl2, lab2, dele2, gid2
 
     spec = P("shard")
+    # quantized storage: materialize the f32 view of the stored geometry
+    # per shard (decoded centroids / dequantized codes) for the rounds
+    vec_in = g.vectors
+    if quant_mode == "pq":
+        cbj = jnp.asarray(codebook.centroids)  # [S_sub, K, dsub]
+        s_sub = codebook.centroids.shape[0]
+
+        def dec_block(codes):
+            c = codes[0].astype(jnp.int32)
+            d = cbj[jnp.arange(s_sub)[None, :], c]  # [cap, S_sub, dsub]
+            return d.reshape(c.shape[0], width).astype(jnp.float32)[None]
+
+        vec_in = jax.jit(shard_map(
+            dec_block, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        ))(g.vectors)
+    elif quant_mode == "i8":
+        def deq_block(codes, scales):
+            return (codes[0].astype(jnp.float32) * scales[0][:, None])[None]
+
+        vec_in = jax.jit(shard_map(
+            deq_block, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,
+        ))(g.vectors, g.vec_scales)
+
     grow = jax.jit(shard_map(
         grow_scatter, mesh=mesh,
         in_specs=(spec,) * 18, out_specs=(spec,) * 9,
         check_vma=False,
     ))
     vec2, sq2, nbr2, up2, uslot2, lvl2, lab2, dele2, gid2 = grow(
-        g.vectors, g.sq_norms, g.neighbors0, g.upper_neighbors,
+        vec_in, g.sq_norms, g.neighbors0, g.upper_neighbors,
         g.upper_slot, g.levels, g.labels, g.deleted, index.global_ids,
         n0_dev, nup_dev,
         put(rows_np), put(sq_np), put(lvl_blk), put(slot_blk),
@@ -1213,6 +1277,61 @@ def insert_sharded(
         st = rounds_fn(st, put_ids(np.stack(grp)), level_tuple_dev)
         i += len(grp)
 
+    # --- restore quantized storage (exact for existing rows) ---
+    out_vecs = st.vectors
+    out_scales = None
+    new_rerank = index.rerank_rows
+    new_rsqn = index.rerank_sqn
+    if quant_mode == "pq":
+        from lantern_tpu.quant.pq import _encode_jit
+
+        def enc_block(v):
+            # rows already live in the rotated space — no rotation here
+            return _encode_jit(v[0], cbj, None)[None]
+
+        out_vecs = jax.jit(shard_map(
+            enc_block, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        ))(st.vectors)
+        if with_rerank:
+            def rr_block(rows, sqn, tr, tsq, n0):
+                n0v = n0[0]
+
+                def pad_rows(a, rows_n, fill):
+                    extra = rows_n - a.shape[1]
+                    if extra <= 0:
+                        return a
+                    return jnp.concatenate(
+                        [a, jnp.full((1, extra) + a.shape[2:], fill, a.dtype)],
+                        axis=1,
+                    )
+
+                r2 = jax.lax.dynamic_update_slice(
+                    pad_rows(rows, new_cap, 0), tr.astype(rows.dtype),
+                    (jnp.int32(0), n0v, jnp.int32(0)),
+                )
+                s2 = jax.lax.dynamic_update_slice(
+                    pad_rows(sqn, new_cap, 0), tsq, (jnp.int32(0), n0v)
+                )
+                return r2, s2
+
+            new_rerank, new_rsqn = jax.jit(shard_map(
+                rr_block, mesh=mesh, in_specs=(spec,) * 5,
+                out_specs=(spec, spec), check_vma=False,
+            ))(index.rerank_rows, index.rerank_sqn,
+               put(true_blk), put(true_sq_blk), n0_dev)
+    elif quant_mode == "i8":
+        from lantern_tpu.quant.scalar import quantize_i8
+
+        def q_block(v):
+            c, sc = quantize_i8(v[0])
+            return c[None], sc[None]
+
+        out_vecs, out_scales = jax.jit(shard_map(
+            q_block, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
+            check_vma=False,
+        ))(st.vectors)
+
     # --- final stacked graph (upper_ids extended host-side; tiny) ---
     old_uids = np.asarray(jax.device_get(g.upper_ids))
     uid_np = np.full((s, ucap_new), -1, np.int32)
@@ -1221,7 +1340,7 @@ def insert_sharded(
         has = slot_blk[si] >= 0
         uid_np[si][slot_blk[si][has]] = nn[si] + np.nonzero(has)[0].astype(np.int32)
     graphs = DeviceGraph(
-        vectors=st.vectors,
+        vectors=out_vecs,
         sq_norms=st.sq_norms,
         neighbors0=st.neighbors0,
         upper_neighbors=st.upper_neighbors,
@@ -1233,12 +1352,17 @@ def insert_sharded(
         max_level=st.max_level,
         num_nodes=put(need.astype(np.int32)),
         upper_ids=put(uid_np),
+        vec_scales=out_scales,
+        pq_codebook=g.pq_codebook,
+        pq_rotation=g.pq_rotation,
         m=m,
         dim=g.dim,
         metric=int(metric),
         quant=g.quant,
     )
-    return ShardedIndex(graphs=graphs, global_ids=gid2, params=params)
+    return ShardedIndex(graphs=graphs, global_ids=gid2,
+                        rerank_rows=new_rerank, rerank_sqn=new_rsqn,
+                        params=params)
 
 
 def delete_sharded(index: ShardedIndex, labels: np.ndarray) -> ShardedIndex:

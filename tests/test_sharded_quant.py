@@ -190,10 +190,65 @@ def test_pq_sharded_delete_and_compact(pq_sharded, tmp_path):
                        np.arange(8)).any()
 
 
-def test_pq_sharded_insert_raises(pq_sharded):
+def test_pq_sharded_insert(pq_sharded):
+    """Insert into PQ shards ON the mesh: decode -> rounds -> re-encode,
+    with the rerank copy extended by the TRUE rows. Existing codes are
+    unchanged (re-encode of decoded centroids is the identity)."""
     ix, ix_f32, base, mesh, p = pq_sharded
-    with pytest.raises(NotImplementedError):
-        insert_sharded(ix, base[:8], mesh)
+    rng = np.random.default_rng(55)
+    extra = _clustered(rng, 64, 32)
+    codes_before = np.asarray(jax.device_get(ix.graphs.vectors))
+    nn_before = np.asarray(jax.device_get(ix.graphs.num_nodes))
+    ix2 = insert_sharded(ix, extra, mesh, batch=32, seed=9)
+    assert ix2.graphs.quant == QUANT_PQ
+    assert ix2.graphs.vectors.dtype == jnp.uint8
+    nn_after = np.asarray(jax.device_get(ix2.graphs.num_nodes))
+    assert nn_after.sum() == nn_before.sum() + 64
+    # old codes unchanged shard by shard
+    codes_after = np.asarray(jax.device_get(ix2.graphs.vectors))
+    for si in range(8):
+        np.testing.assert_array_equal(
+            codes_after[si, : nn_before[si]], codes_before[si, : nn_before[si]]
+        )
+    # new rows findable via the exact rerank path (true rows in the copy)
+    q = jnp.asarray(extra[:8])
+    d, gids, _ = flat_search_sharded_rerank(ix2, q, k=1, shortlist=16)
+    np.testing.assert_array_equal(
+        np.asarray(gids)[:, 0], np.arange(4000, 4008)
+    )
+    # and rerank distances of self-queries are ~0 (true-row rerank source)
+    assert float(np.max(np.asarray(d)[:, 0])) < 1e-1
+    # overall recall holds after the insert
+    all_rows = np.concatenate([base, extra])
+    qq = jnp.asarray(_clustered(rng, 16, 32))
+    _, true_ids = exact_search(qq, jnp.asarray(all_rows), k=10)
+    _, g10, _ = flat_search_sharded_rerank(ix2, qq, k=10, shortlist=64)
+    rec = _recall(np.asarray(g10), np.asarray(true_ids))
+    assert rec >= 0.9, f"post-insert PQ rerank recall {rec}"
+
+
+def test_i8_sharded_insert():
+    rng = np.random.default_rng(66)
+    base = rng.standard_normal((1600, 24)).astype(np.float32)
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=24, m=8, ef_construction=48)
+    ix8 = quantize_sharded(build_sharded(base[:1200], p, mesh, seed=0),
+                           mesh, quant="i8")
+    extra = base[1200:]
+    ix2 = insert_sharded(ix8, extra, mesh, batch=64, seed=3)
+    assert ix2.graphs.vectors.dtype == jnp.int8
+    assert ix2.graphs.vec_scales is not None
+    q = jnp.asarray(extra[:8])
+    _, gids, _ = search_sharded(ix2, q, k=1, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(gids)[:, 0], np.arange(1200, 1208)
+    )
+    _, true_ids = exact_search(jnp.asarray(base[::97]), jnp.asarray(base),
+                               k=10)
+    _, g10, _ = flat_search_sharded(ix2, jnp.asarray(base[::97]), k=10,
+                                    exact=True)
+    rec = _recall(np.asarray(g10), np.asarray(true_ids))
+    assert rec >= 0.9, f"post-insert i8 flat recall {rec}"
 
 
 def test_i8_sharded_beam_and_flat():
