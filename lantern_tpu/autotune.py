@@ -96,7 +96,7 @@ def autotune(
     num_queries: int = 10,
     variants=AUTOTUNE_VARIANTS,
     seed: int = 0,
-    engine: str = "device",
+    engine: str = "native",
     model_name: str | None = None,
     results_path: str | None = None,
 ) -> tuple[AutotuneResult | None, list[AutotuneResult]]:
@@ -105,6 +105,24 @@ def autotune(
     With ``model_name`` + ``results_path``, a prior stored result meeting
     the target short-circuits the sweep, and fresh sweeps are appended to
     the store (mod.rs:111-159 reuse semantics).
+
+    ``engine`` picks the variant BUILD path; search latency/recall are
+    always measured batched on device:
+
+    - ``"native"`` (default): build each variant on the host engine. At the
+      <=10k-row autotune sample this is seconds per variant and compiles
+      nothing new; only the 6 per-(m, ef) search programs are jitted.
+      Variant RANKING is what autotune needs, and it is preserved (host
+      build time is monotone in m*ef_construction like the device build,
+      and host-built graphs score the same recall class — device builds
+      measure slightly BETTER, so a variant meeting the target here meets
+      it at scale).
+    - ``"device"``: build each variant with the device builder — measures
+      true device build time, but each (m, efc) variant compiles ~10
+      distinct XLA programs; with a cold compile cache through this
+      environment's 30-90 s remote-compile tunnel the 6-variant sweep
+      spends most of an hour compiling before any measurement. Use when
+      device build time is itself the quantity being tuned.
     """
     if model_name and results_path:
         prior = load_prior_result(model_name, results_path, target_recall)

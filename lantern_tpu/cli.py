@@ -314,7 +314,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--recall", type=float, default=0.9)
     s.add_argument("--test-data-size", type=int, default=10000)
-    s.add_argument("--engine", default="device", choices=["device", "native"])
+    s.add_argument("--engine", default="native", choices=["device", "native"],
+                   help="variant build path: native = host build, seconds "
+                        "per variant (search still measured on device); "
+                        "device = true device build times, but ~10 XLA "
+                        "compiles per variant through the compile tunnel")
     s.add_argument("--model-name", default=None,
                    help="store/reuse results under this name")
     s.add_argument("--results-path", default=None,

@@ -146,7 +146,7 @@ class Daemon:
             target_recall=spec.get("target_recall", 0.9),
             sample=spec.get("sample", 10000),
             variants=variants,
-            engine=spec.get("engine", "device"),
+            engine=spec.get("engine", "native"),
         )
         return {
             "best": vars(best) if best else None,
