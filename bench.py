@@ -206,14 +206,20 @@ def bench_config(n, dim, q, iters, host_build: bool):
             for a, b in zip(ids_pq, true_np)
         ])), 4)
         # MFU: per query batch the ADC scan executes a Q-independent decode
-        # — the one-hot [TB, S*K] @ [S*K, dim] MXU dot = N*S*K*dim*2 FLOPs
-        # (the lane-padded block-diagonal contraction IS the executed work;
-        # BASELINE.md r4 measured it at 34% of peak) — plus the Q*N*dim*2
-        # scoring matmul. Decode dominates: the honest record of the
-        # "decode-FLOP-bound by design" claim.
+        # plus the Q*N*dim*2 scoring matmul. The decode's executed MXU work
+        # depends on the kernel: 8-bit codes take the hi/lo decomposition
+        # (pallas_kernels._pq_decode_hilo_kernel) whose dense FLOPs are
+        # ng*(w1*w2 + w2*gd)*2 per row — ~3.2x less than the flat one-hot
+        # [TB, S*K] @ [S*K, dim] contraction it replaced (r3). Count the
+        # work of the kernel actually in use so the MFU stays honest.
         s_pq, k_pq = 32, 256
+        from lantern_tpu.ops.pallas_kernels import _hilo_group
+        grp = _hilo_group(s_pq)
+        ng, dsub = s_pq // grp, dim // s_pq
+        w1, w2, gd = grp * 16, grp * 16 * dsub, grp * dsub
+        decode_flops = n * ng * (w1 * w2 + w2 * gd) * 2
         batches_per_s = out["flat_pq"]["qps"] / q
-        pq_flops = n * s_pq * k_pq * dim * 2 + q * n * dim * 2
+        pq_flops = decode_flops + q * n * dim * 2
         out["flat_pq"]["mfu"] = _mfu(batches_per_s * pq_flops)
 
         # two-stage PQ: ADC shortlist + exact rerank on the bf16 rows (the

