@@ -140,30 +140,46 @@ def _pq_decode_hilo_kernel(codes_ref, c1_ref, exph_ref, colh_ref,
     [1, G*K] @ [G*K, G*dsub] contraction (2.1 MFLOP at S=32/K=256/dim=128 —
     16x the useful FLOPs) plus a G*K-wide VPU compare to build the one-hot.
     Splitting the 8-bit code into two 4-bit halves c = 16*hi + lo replaces
-    the K=256-wide one-hot with two 16-wide ones:
+    the K=256-wide one-hot with two 16-wide ones, per subspace GROUP g:
 
         p1[r, (s,l,j)]  = cent[s, 16*hi(r,s) + l, j]      (ohh @ C1, MXU)
         dec[r, (s,j)]   = sum_l ohl[r,(s,l,j)] * p1       (mask + 0/1 matmul)
 
-    All stages are 2-D MXU/VPU ops (Mosaic-safe): per row the matmuls cost
-    ~0.4 MFLOP dense and the compares shrink from G*K to G*16 + G*16*dsub
-    lanes. Output is bit-identical to _pq_decode_kernel: every stage
-    selects exactly one bf16 codebook value per (s, j) (f32 accumulation of
-    a single nonzero is exact), so callers see the same decoded block.
-    Measured (1M x 128d, S=32, K=256): decode 21.8 -> ~4 ms/block-sweep.
+    The grid runs over ROW TILES only; the group loop is unrolled inside
+    the kernel with the whole grouped codebook VMEM-resident (ng*w1*w2 bf16
+    — 0.5 MB at S=32/dim=128, ~4 MB at 960 d), and each group writes its
+    gd output columns of the row tile. This keeps both the kernel's input
+    (codes [tile, S]) and output ([tile, dim]) in the caller's natural
+    layout — the previous group-major grid needed a [N, ng, grp] input
+    transpose and a [ng, N, gd] output transpose, which profiled at ~5 ms
+    per 1M-row sweep (23% of the whole PQ scan) as XLA copies.
+
+    All stages are 2-D MXU/VPU ops (Mosaic-safe). Output is bit-identical
+    to _pq_decode_kernel: every stage selects exactly one bf16 codebook
+    value per (s, j) (f32 accumulation of a single nonzero is exact; the
+    4-bit rep/compare values are exact in bf16), so callers see the same
+    decoded block.
     """
-    c = codes_ref[0]                                    # [TB, G] int32
-    chi = (c // 16).astype(jnp.bfloat16)                # 4-bit: exact in bf16
-    clo = (c % 16).astype(jnp.bfloat16)
-    rep_h = jnp.dot(chi, exph_ref[:], preferred_element_type=jnp.float32)
-    ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)   # [TB, G*16]
-    p1 = jnp.dot(ohh, c1_ref[0], preferred_element_type=jnp.float32)
-    rep_l = jnp.dot(clo, expl_ref[:], preferred_element_type=jnp.float32)
-    ohl = (rep_l == coll_ref[:]).astype(jnp.float32)    # [TB, G*16*dsub]
-    masked = (p1 * ohl).astype(jnp.bfloat16)            # one nonzero per (s,j)
-    out_ref[0] = jnp.dot(
-        masked, rm_ref[:], preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    ng = c1_ref.shape[0]
+    grp = c1_ref.shape[1] // 16
+    c = codes_ref[:]                                    # [T, S] int32
+    outs = []
+    for g in range(ng):
+        cg = c[:, g * grp:(g + 1) * grp]
+        chi = (cg // 16).astype(jnp.bfloat16)           # 4-bit: exact in bf16
+        clo = (cg % 16).astype(jnp.bfloat16)
+        # Mosaic requires 32-bit matmul accumulators and f32 vector
+        # compares (bf16 cmpf is unsupported); 0..15 values are exact.
+        rep_h = jnp.dot(chi, exph_ref[:], preferred_element_type=jnp.float32)
+        ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)   # [T, G*16]
+        p1 = jnp.dot(ohh, c1_ref[g], preferred_element_type=jnp.float32)
+        rep_l = jnp.dot(clo, expl_ref[:], preferred_element_type=jnp.float32)
+        ohl = rep_l == coll_ref[:]                      # [T, G*16*dsub]
+        masked = jnp.where(ohl, p1, 0.0).astype(jnp.bfloat16)
+        outs.append(jnp.dot(
+            masked, rm_ref[:], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype))                        # [T, G*dsub]
+    out_ref[:] = outs[0] if ng == 1 else jnp.concatenate(outs, axis=1)
 
 
 def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
@@ -201,16 +217,17 @@ def codebook_hilo(centroids: jax.Array) -> jax.Array:
 def pq_decode_mxu_hilo(
     codes: jax.Array,        # [N, S] integer codes (8-bit: K == 256)
     c1: jax.Array,           # [ng, G*16, G*16*dsub] from codebook_hilo
-    tile: int = 256,
+    tile: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode 8-bit PQ codes to bf16 vectors [N, dim] — hi/lo kernel.
 
-    Same contract as pq_decode_mxu (bit-identical bf16 output) at ~5x less
-    device time (see _pq_decode_hilo_kernel). ``c1`` is data-dependent and
-    must be built OUTSIDE the per-block score function (one codebook prep
-    per search, not per scanned block); the iota-built expander/column/
-    reduction matrices are data-independent and constant-fold at compile.
+    Same contract as pq_decode_mxu (bit-identical bf16 output) at a
+    fraction of the device time (see _pq_decode_hilo_kernel). ``c1`` is
+    data-dependent and must be built OUTSIDE the per-block score function
+    (one codebook prep per search, not per scanned block); the iota-built
+    expander/column/reduction matrices are data-independent and
+    constant-fold at compile.
     """
     n, s = codes.shape
     ng, w1, w2 = c1.shape
@@ -221,13 +238,15 @@ def pq_decode_mxu_hilo(
     if ng * grp != s:
         raise ValueError("c1 grouping does not match codes' subspace count")
     tile = min(tile, max(16, n))
-    # per-step VMEM: p1/rep_l/ohl f32 + masked bf16 [tile, w2] (~14 B/elt)
-    # + the group's C1 block
-    while tile > 32 and tile * w2 * 14 + w1 * w2 * 2 > 15 * 2**20:
+    # per-step VMEM: one group's p1 f32 + rep/ohl/masked bf16 [tile, w2]
+    # (~10 B/elt live at once) + codes/out blocks + the WHOLE grouped
+    # codebook (resident across steps)
+    while tile > 32 and (
+        tile * (w2 * 10 + dim * 2 + s * 4) + ng * w1 * w2 * 2 > 14 * 2**20
+    ):
         tile //= 2
     npad = -(-n // tile) * tile
     codes_i = jnp.pad(codes.astype(jnp.int32), ((0, npad - n), (0, 0)))
-    codes_g = codes_i.reshape(npad, ng, grp).transpose(1, 0, 2)
     # hi spread/compare tables: rep_h[r, (s,h)] = code_hi[r, s]
     i0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 1)
@@ -250,21 +269,21 @@ def pq_decode_mxu_hilo(
     ).astype(jnp.bfloat16)
     out = pl.pallas_call(
         _pq_decode_hilo_kernel,
-        out_shape=jax.ShapeDtypeStruct((ng, npad, gd), jnp.bfloat16),
-        grid=(ng, npad // tile),
+        out_shape=jax.ShapeDtypeStruct((npad, dim), jnp.bfloat16),
+        grid=(npad // tile,),
         in_specs=[
-            pl.BlockSpec((1, tile, grp), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, w1, w2), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((grp, w1), lambda g, i: (0, 0)),
-            pl.BlockSpec((1, w1), lambda g, i: (0, 0)),
-            pl.BlockSpec((grp, w2), lambda g, i: (0, 0)),
-            pl.BlockSpec((1, w2), lambda g, i: (0, 0)),
-            pl.BlockSpec((w2, gd), lambda g, i: (0, 0)),
+            pl.BlockSpec((tile, s), lambda i: (i, 0)),
+            pl.BlockSpec((ng, w1, w2), lambda i: (0, 0, 0)),
+            pl.BlockSpec((grp, w1), lambda i: (0, 0)),
+            pl.BlockSpec((1, w1), lambda i: (0, 0)),
+            pl.BlockSpec((grp, w2), lambda i: (0, 0)),
+            pl.BlockSpec((1, w2), lambda i: (0, 0)),
+            pl.BlockSpec((w2, gd), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, gd), lambda g, i: (g, i, 0)),
+        out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0)),
         interpret=interpret,
-    )(codes_g, c1, exp_h, colh, exp_l, coll, rm)
-    return out.transpose(1, 0, 2).reshape(npad, dim)[:n]
+    )(codes_i, c1, exp_h, colh, exp_l, coll, rm)
+    return out[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
