@@ -41,12 +41,18 @@ class AutotuneResult:
     recall: float
     latency_s: float
     build_s: float
+    # which builder produced build_s: "native" (1-core host engine,
+    # ~0.8-1.6k inserts/s) or "device". Recorded in the stored payload so
+    # results saved before/after an engine-default change stay
+    # interpretable (ADVICE r3); rows stored before this field existed
+    # load as "unknown".
+    engine: str = "unknown"
 
     def exp_str(self) -> str:
         return (
             f"m={self.m} efc={self.ef_construction} ef={self.ef}: "
             f"recall={self.recall:.3f} latency={self.latency_s*1e3:.2f}ms "
-            f"build={self.build_s:.1f}s"
+            f"build={self.build_s:.1f}s [{self.engine}]"
         )
 
 
@@ -205,7 +211,10 @@ def autotune(
                 ]
             )
         )
-        results.append(AutotuneResult(m, efc, ef, recall, latency, build_s))
+        results.append(
+            AutotuneResult(m, efc, ef, recall, latency, build_s,
+                           engine=engine)
+        )
 
     # selection: fastest meeting target, ties by build time (mod.rs:161-186)
     meeting = [r for r in results if r.recall >= target_recall]

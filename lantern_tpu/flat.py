@@ -259,6 +259,7 @@ def flat_search_pq(
     load), reconstructed distance semantics of usearch's pq metric.
     """
     from lantern_tpu.ops.pallas_kernels import (
+        _hilo_group,
         codebook_blockdiag,
         codebook_hilo,
         pq_decode_mxu,
@@ -279,7 +280,11 @@ def flat_search_pq(
     # 8-bit codes (K=256, the standard configuration) take the hi/lo
     # kernel: bit-identical decode at ~5x less device time. The codebook
     # operand is hoisted here so the scan body reuses it per block.
-    hilo = centroids.shape[1] == 256
+    # _hilo_group returns 0 when the grouped codebook cannot fit VMEM at
+    # any group size (dim >= ~16k) — those configs keep the subspace-tiled
+    # pq_decode_mxu path, whose grid tiles the codebook (ADVICE r3).
+    hilo = centroids.shape[1] == 256 and _hilo_group(
+        s, centroids.shape[2]) >= 1
     cb_op = codebook_hilo(centroids) if hilo else codebook_blockdiag(centroids)
     qf_bf = qf.astype(jnp.bfloat16)
     interp = jax.default_backend() == "cpu"

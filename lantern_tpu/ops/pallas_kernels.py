@@ -191,10 +191,27 @@ def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
     return blk.reshape(s * kc, s * dsub)
 
 
-def _hilo_group(s: int) -> int:
+# VMEM budget for the hi/lo kernel's resident grouped codebook (bytes).
+# The whole-kernel guard in pq_decode_mxu_hilo allows ~14 MB; cap the
+# codebook term at 8 MB so row tiles keep useful sizes.
+HILO_CB_VMEM_BUDGET = 8 * 2**20
+
+
+def _hilo_group(s: int, dsub: int = 4) -> int:
     """Subspaces per grid group: largest divisor of S with G*16 <= 128
-    lanes of stage-1 contraction (full MXU contraction depth)."""
-    return max(g for g in range(1, min(s, 8) + 1) if s % g == 0)
+    lanes of stage-1 contraction (full MXU contraction depth) whose
+    grouped codebook (ng*w1*w2 bf16 = 512*G*dim bytes, VMEM-resident
+    across every grid step) fits HILO_CB_VMEM_BUDGET. Returns 0 when no
+    group size fits (dim >= ~16k): callers must fall back to the
+    subspace-tiled pq_decode_mxu path, whose grid CAN tile the codebook
+    (ADVICE r3: the grp=8 operand alone exceeds VMEM at dim >= ~3.5k
+    and the kernel cannot compile)."""
+    dim = s * dsub
+    cands = [
+        g for g in range(1, min(s, 8) + 1)
+        if s % g == 0 and 512 * g * dim <= HILO_CB_VMEM_BUDGET
+    ]
+    return max(cands) if cands else 0
 
 
 def codebook_hilo(centroids: jax.Array) -> jax.Array:
@@ -204,7 +221,12 @@ def codebook_hilo(centroids: jax.Array) -> jax.Array:
     s, kc, dsub = centroids.shape
     if kc != 256:
         raise ValueError("codebook_hilo requires K == 256 (8-bit codes)")
-    grp = _hilo_group(s)
+    grp = _hilo_group(s, dsub)
+    if grp < 1:
+        raise ValueError(
+            "codebook_hilo: dim too large for a VMEM-resident grouped "
+            "codebook; use codebook_blockdiag/pq_decode_mxu"
+        )
     ng = s // grp
     cent_r = centroids.astype(jnp.bfloat16).reshape(ng, grp, 16, 16, dsub)
     eye = jnp.eye(grp, dtype=jnp.bfloat16)

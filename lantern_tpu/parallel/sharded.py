@@ -1019,10 +1019,16 @@ def insert_sharded(
         quant_mode = "pq"
     elif g.quant == int(QuantKind.I8):
         quant_mode = "i8"
-    elif g.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
+    elif g.quant not in (
+        int(QuantKind.F32), int(QuantKind.F16), int(QuantKind.B1),
+    ):
         raise NotImplementedError(
             f"insert into a quant={g.quant} ShardedIndex is not supported"
         )
+    # B1 needs no f32 view or re-encode: packed u32 words ARE the stored
+    # geometry and the insert rounds run hamming over them directly (same
+    # as the single-chip device_insert path; closes the quant x sharding
+    # matrix — reference insert.c works for every quant_bits kind).
     np_dtype = np.uint32 if metric == Metric.HAMMING else np.float32
     vectors = np.ascontiguousarray(vectors, np_dtype)
     b, width = vectors.shape

