@@ -132,54 +132,77 @@ def _pq_decode_kernel(codes_ref, cb_ref, exp_ref, colc_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-def _pq_decode_hilo_kernel(codes_ref, c1_ref, exph_ref, colh_ref,
-                           expl_ref, coll_ref, rm_ref, out_ref):
+def _make_hilo_kernel(grp: int, lo_w: int):
     """Hi/lo-decomposed decode: out[r, :] = concat_s centroids[s, codes[r, s]].
 
     The flat one-hot formulation (_pq_decode_kernel) pays, per row, a dense
     [1, G*K] @ [G*K, G*dsub] contraction (2.1 MFLOP at S=32/K=256/dim=128 —
     16x the useful FLOPs) plus a G*K-wide VPU compare to build the one-hot.
-    Splitting the 8-bit code into two 4-bit halves c = 16*hi + lo replaces
-    the K=256-wide one-hot with two 16-wide ones, per subspace GROUP g:
+    Splitting the 8-bit code into two halves c = lo_w*hi + lo replaces the
+    K=256-wide one-hot with a hi_w-wide and a lo_w-wide one, per subspace
+    GROUP g:
 
-        p1[r, (s,l,j)]  = cent[s, 16*hi(r,s) + l, j]      (ohh @ C1, MXU)
-        dec[r, (s,j)]   = sum_l ohl[r,(s,l,j)] * p1       (mask + 0/1 matmul)
+        p1[r, (l,s,j)]  = cent[s, lo_w*hi(r,s) + l, j]    (ohh @ C1, MXU)
+        dec[r, (s,j)]   = sum_l [lo(r,s) == l] * p1       (mask + VPU adds)
+
+    Stage 1's output columns are L-MAJOR (l, s, j): the sum over l then
+    reduces by log2(lo_w) slice-halving VPU adds instead of a 0/1 reduction
+    matmul — the r3 profile showed that matmul paying 4x MXU output-lane
+    padding, as many executed FLOPs as stage 1 itself (the rewrite measured
+    11.55 -> 8.26 ms per 1M x (S=32, dim=128) decode at the 16/16 split,
+    benchmarks/exp_hilo_v2.py).
+
+    The (hi_w, lo_w) split is a free parameter minimized by _hilo_plan:
+    executed stage-1 MXU tiles per group are roundup(G*hi_w, 128) x
+    roundup(G*lo_w*dsub, 128), so the optimal split balances the one-hot
+    width against the stage-1 output width — at S=32/dsub=4 the 32/8 split
+    executes [T,128]@[128,128] x 8 groups, HALF the padded FLOPs of the
+    16/16 split's [T,128]@[128,512] x 4 (and half the stage-2 VPU
+    mask+reduce work).
 
     The grid runs over ROW TILES only; the group loop is unrolled inside
-    the kernel with the whole grouped codebook VMEM-resident (ng*w1*w2 bf16
-    — 0.5 MB at S=32/dim=128, ~4 MB at 960 d), and each group writes its
-    gd output columns of the row tile. This keeps both the kernel's input
-    (codes [tile, S]) and output ([tile, dim]) in the caller's natural
-    layout — the previous group-major grid needed a [N, ng, grp] input
-    transpose and a [ng, N, gd] output transpose, which profiled at ~5 ms
-    per 1M-row sweep (23% of the whole PQ scan) as XLA copies.
+    the kernel with the whole grouped codebook VMEM-resident (512*G*dim
+    bytes for every split), and each group writes its gd output columns of
+    the row tile. Codes enter as uint8 and widen in-kernel (the host-side
+    pad+int32 convert profiled at 0.9 ms/1M).
 
     All stages are 2-D MXU/VPU ops (Mosaic-safe). Output is bit-identical
     to _pq_decode_kernel: every stage selects exactly one bf16 codebook
     value per (s, j) (f32 accumulation of a single nonzero is exact; the
-    4-bit rep/compare values are exact in bf16), so callers see the same
-    decoded block.
+    hi/lo rep/compare values are < 256 hence exact in bf16, and each
+    slice-halving add sums one nonzero with zeros), so callers see the
+    same decoded block.
     """
-    ng = c1_ref.shape[0]
-    grp = c1_ref.shape[1] // 16
-    c = codes_ref[:]                                    # [T, S] int32
-    outs = []
-    for g in range(ng):
-        cg = c[:, g * grp:(g + 1) * grp]
-        chi = (cg // 16).astype(jnp.bfloat16)           # 4-bit: exact in bf16
-        clo = (cg % 16).astype(jnp.bfloat16)
-        # Mosaic requires 32-bit matmul accumulators and f32 vector
-        # compares (bf16 cmpf is unsupported); 0..15 values are exact.
-        rep_h = jnp.dot(chi, exph_ref[:], preferred_element_type=jnp.float32)
-        ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)   # [T, G*16]
-        p1 = jnp.dot(ohh, c1_ref[g], preferred_element_type=jnp.float32)
-        rep_l = jnp.dot(clo, expl_ref[:], preferred_element_type=jnp.float32)
-        ohl = rep_l == coll_ref[:]                      # [T, G*16*dsub]
-        masked = jnp.where(ohl, p1, 0.0).astype(jnp.bfloat16)
-        outs.append(jnp.dot(
-            masked, rm_ref[:], preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype))                        # [T, G*dsub]
-    out_ref[:] = outs[0] if ng == 1 else jnp.concatenate(outs, axis=1)
+
+    def kernel(codes_ref, c1_ref, exph_ref, colh_ref, expl_ref, coll_ref,
+               out_ref):
+        ng = c1_ref.shape[0]
+        w2 = c1_ref.shape[2]
+        gd = w2 // lo_w
+        c = codes_ref[:].astype(jnp.int32)              # [T, S] u8 -> i32
+        outs = []
+        for g in range(ng):
+            cg = c[:, g * grp:(g + 1) * grp]
+            chi = (cg // lo_w).astype(jnp.bfloat16)     # < 256: exact in bf16
+            clo = (cg % lo_w).astype(jnp.bfloat16)
+            # Mosaic requires 32-bit matmul accumulators and f32 vector
+            # compares (bf16 cmpf is unsupported); the values are exact.
+            rep_h = jnp.dot(chi, exph_ref[:],
+                            preferred_element_type=jnp.float32)
+            ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)  # [T, G*hi_w]
+            p1 = jnp.dot(ohh, c1_ref[g], preferred_element_type=jnp.float32)
+            rep_l = jnp.dot(clo, expl_ref[:],
+                            preferred_element_type=jnp.float32)
+            acc = jnp.where(rep_l == coll_ref[:], p1, 0.0)  # [T, (l, s, j)]
+            width = w2
+            while width > gd:                           # sum over l
+                half = width // 2
+                acc = acc[:, :half] + acc[:, half:width]
+                width = half
+            outs.append(acc.astype(out_ref.dtype))      # [T, G*dsub]
+        out_ref[:] = outs[0] if ng == 1 else jnp.concatenate(outs, axis=1)
+
+    return kernel
 
 
 def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
@@ -197,70 +220,99 @@ def codebook_blockdiag(centroids: jax.Array) -> jax.Array:
 HILO_CB_VMEM_BUDGET = 8 * 2**20
 
 
-def _hilo_group(s: int, dsub: int = 4) -> int:
-    """Subspaces per grid group: largest divisor of S with G*16 <= 128
-    lanes of stage-1 contraction (full MXU contraction depth) whose
-    grouped codebook (ng*w1*w2 bf16 = 512*G*dim bytes, VMEM-resident
-    across every grid step) fits HILO_CB_VMEM_BUDGET. Returns 0 when no
-    group size fits (dim >= ~16k): callers must fall back to the
-    subspace-tiled pq_decode_mxu path, whose grid CAN tile the codebook
-    (ADVICE r3: the grp=8 operand alone exceeds VMEM at dim >= ~3.5k
-    and the kernel cannot compile)."""
+def _hilo_plan(s: int, dsub: int = 4):
+    """Choose the (hi_w, lo_w, grp) hi/lo decomposition for K=256 codes.
+
+    The 16/16 split at the largest VMEM-feasible group (grp*16 <= 128, one
+    contraction tile) is the MEASURED optimum: a 32/8 split at grp=4
+    executes half the padded stage-1 MXU tiles on paper
+    (ng * roundup(grp*hi_w,128) * roundup(grp*lo_w*dsub,128)) but ran
+    12.9 ms vs 8.26 ms per 1M x (S=32, dim=128) sweep — doubling the group
+    count doubles the per-grid-step unroll of narrow VPU ops (compares,
+    selects, sub-lane halving adds, an 8-way concat of [T,16] slices),
+    which dominates the saved MXU padding (r4 measurement,
+    benchmarks/exp_pq_qps.py). Don't re-litigate without profiling.
+
+    Constraints: grp | S and the grouped codebook (ng*w1*w2 bf16 =
+    512*grp*dim bytes for EVERY split, VMEM-resident across every grid
+    step) fits HILO_CB_VMEM_BUDGET. Returns None when no configuration
+    fits (dim >= ~16k): callers must fall back to the subspace-tiled
+    pq_decode_mxu path, whose grid CAN tile the codebook (ADVICE r3: the
+    grouped operand alone exceeds VMEM at large dim and the kernel cannot
+    compile).
+    """
     dim = s * dsub
     cands = [
         g for g in range(1, min(s, 8) + 1)
         if s % g == 0 and 512 * g * dim <= HILO_CB_VMEM_BUDGET
     ]
-    return max(cands) if cands else 0
+    if not cands:
+        return None
+    return 16, 16, max(cands)
+
+
+def _hilo_group(s: int, dsub: int = 4) -> int:
+    """Subspaces per grid group under the chosen _hilo_plan split; 0 when
+    no VMEM-feasible configuration exists (see _hilo_plan)."""
+    plan = _hilo_plan(s, dsub)
+    return plan[2] if plan else 0
 
 
 def codebook_hilo(centroids: jax.Array) -> jax.Array:
     """[S, K=256, dsub] f32 codebook -> grouped hi/lo stage-1 operand
-    C1[g, (s,h), (s',l,j)] = cent[g*G+s, 16h+l, j] * (s==s'), bf16,
-    shape [ng, G*16, G*16*dsub]. Pair with pq_decode_mxu_hilo."""
+    C1[g, (s,h), (l,s',j)] = cent[g*G+s, lo_w*h+l, j] * (s==s'), bf16,
+    shape [ng, G*hi_w, lo_w*G*dsub] at the _hilo_plan split. Pair with
+    pq_decode_mxu_hilo."""
     s, kc, dsub = centroids.shape
     if kc != 256:
         raise ValueError("codebook_hilo requires K == 256 (8-bit codes)")
-    grp = _hilo_group(s, dsub)
-    if grp < 1:
+    plan = _hilo_plan(s, dsub)
+    if plan is None:
         raise ValueError(
             "codebook_hilo: dim too large for a VMEM-resident grouped "
             "codebook; use codebook_blockdiag/pq_decode_mxu"
         )
+    hi_w, lo_w, grp = plan
     ng = s // grp
-    cent_r = centroids.astype(jnp.bfloat16).reshape(ng, grp, 16, 16, dsub)
+    cent_r = centroids.astype(jnp.bfloat16).reshape(ng, grp, hi_w, lo_w, dsub)
     eye = jnp.eye(grp, dtype=jnp.bfloat16)
-    # [ng, s, h, t, l, j] -> flatten (s,h) / (t,l,j)
-    c1 = jnp.einsum("gshlj,st->gshtlj", cent_r, eye)
-    return c1.reshape(ng, grp * 16, grp * 16 * dsub)
+    # stage-1 output layout is L-MAJOR (l, s', j) — see _make_hilo_kernel
+    # [ng, s, h, l, t, j] -> flatten (s,h) / (l,t,j)
+    c1 = jnp.einsum("gshlj,st->gshltj", cent_r, eye)
+    return c1.reshape(ng, grp * hi_w, lo_w * grp * dsub)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def pq_decode_mxu_hilo(
     codes: jax.Array,        # [N, S] integer codes (8-bit: K == 256)
-    c1: jax.Array,           # [ng, G*16, G*16*dsub] from codebook_hilo
-    tile: int = 1024,
+    c1: jax.Array,           # [ng, G*hi_w, lo_w*G*dsub] from codebook_hilo
+    tile: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode 8-bit PQ codes to bf16 vectors [N, dim] — hi/lo kernel.
 
     Same contract as pq_decode_mxu (bit-identical bf16 output) at a
-    fraction of the device time (see _pq_decode_hilo_kernel). ``c1`` is
+    fraction of the device time (see _make_hilo_kernel). ``c1`` is
     data-dependent and must be built OUTSIDE the per-block score function
     (one codebook prep per search, not per scanned block); the iota-built
-    expander/column/reduction matrices are data-independent and
-    constant-fold at compile.
+    expander/column matrices are data-independent and constant-fold at
+    compile. The (hi_w, lo_w, grp) split is recovered from the operand
+    shapes, so c1 from codebook_hilo is self-describing.
     """
     n, s = codes.shape
     ng, w1, w2 = c1.shape
-    grp = w1 // 16
-    dsub = w2 // (grp * 16)
+    if s % ng:
+        raise ValueError("c1 grouping does not match codes' subspace count")
+    grp = s // ng
+    hi_w = w1 // grp
+    lo_w = 256 // hi_w
+    dsub = w2 // (lo_w * grp)
     gd = grp * dsub
     dim = s * dsub
-    if ng * grp != s:
-        raise ValueError("c1 grouping does not match codes' subspace count")
+    if grp * hi_w != w1 or lo_w * grp * dsub != w2 or hi_w * lo_w != 256:
+        raise ValueError("c1 shape is not a valid hi/lo grouped codebook")
     tile = min(tile, max(16, n))
-    # per-step VMEM: one group's p1 f32 + rep/ohl/masked bf16 [tile, w2]
+    # per-step VMEM: one group's p1 f32 + rep/mask bf16 [tile, w2]
     # (~10 B/elt live at once) + codes/out blocks + the WHOLE grouped
     # codebook (resident across steps)
     while tile > 32 and (
@@ -268,29 +320,25 @@ def pq_decode_mxu_hilo(
     ):
         tile //= 2
     npad = -(-n // tile) * tile
-    codes_i = jnp.pad(codes.astype(jnp.int32), ((0, npad - n), (0, 0)))
+    codes_u8 = jnp.pad(codes.astype(jnp.uint8), ((0, npad - n), (0, 0)))
     # hi spread/compare tables: rep_h[r, (s,h)] = code_hi[r, s]
     i0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w1), 1)
-    exp_h = (i0 == i1 // 16).astype(jnp.bfloat16)
+    exp_h = (i0 == i1 // hi_w).astype(jnp.bfloat16)
     colh = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, w1), 1) % 16
+        jax.lax.broadcasted_iota(jnp.int32, (1, w1), 1) % hi_w
     ).astype(jnp.float32)
-    # lo spread/compare tables at the p1 layout (s, l, j)
+    # lo spread/compare tables at the L-MAJOR p1 layout (l, s, j):
+    # column l*G*dsub + s*dsub + j -> subspace s = (col // dsub) % grp,
+    # level l = col // (G*dsub)
     j0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 0)
     j1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 1)
-    exp_l = (j0 == j1 // (16 * dsub)).astype(jnp.bfloat16)
+    exp_l = (j0 == (j1 // dsub) % grp).astype(jnp.bfloat16)
     coll = (
-        (jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1) // dsub) % 16
+        jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1) // gd
     ).astype(jnp.float32)
-    # 0/1 reduction over l: Rm[(s,l,j), (s',j')] = (s==s') & (j==j')
-    r0 = jax.lax.broadcasted_iota(jnp.int32, (w2, gd), 0)
-    r1 = jax.lax.broadcasted_iota(jnp.int32, (w2, gd), 1)
-    rm = jnp.logical_and(
-        r0 // (16 * dsub) == r1 // dsub, r0 % dsub == r1 % dsub
-    ).astype(jnp.bfloat16)
     out = pl.pallas_call(
-        _pq_decode_hilo_kernel,
+        _make_hilo_kernel(grp, lo_w),
         out_shape=jax.ShapeDtypeStruct((npad, dim), jnp.bfloat16),
         grid=(npad // tile,),
         in_specs=[
@@ -300,11 +348,10 @@ def pq_decode_mxu_hilo(
             pl.BlockSpec((1, w1), lambda i: (0, 0)),
             pl.BlockSpec((grp, w2), lambda i: (0, 0)),
             pl.BlockSpec((1, w2), lambda i: (0, 0)),
-            pl.BlockSpec((w2, gd), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0)),
         interpret=interpret,
-    )(codes_i, c1, exp_h, colh, exp_l, coll, rm)
+    )(codes_u8, c1, exp_h, colh, exp_l, coll)
     return out[:n]
 
 

@@ -117,10 +117,11 @@ def test_pq_decode_hilo_matches_onehot(rng):
 
 
 def test_pq_decode_hilo_grouped_960d(rng):
-    """Grouped hi/lo shape of the 960-d config (S=240, dsub=4, grp=8,
-    ng=30): exact equality with the one-hot kernel."""
+    """Grouped hi/lo shape of the 960-d config (S=240, dsub=4 -> the 16/16
+    split at grp=8, ng=30): exact equality with the one-hot kernel."""
     from lantern_tpu.ops.pallas_kernels import (
         _hilo_group,
+        _hilo_plan,
         codebook_blockdiag,
         codebook_hilo,
         pq_decode_mxu,
@@ -128,6 +129,7 @@ def test_pq_decode_hilo_grouped_960d(rng):
     )
 
     s, kc, dsub = 240, 256, 4
+    assert _hilo_plan(s, dsub) == (16, 16, 8)
     assert _hilo_group(s, dsub) == 8
     cents = rng.standard_normal((s, kc, dsub)).astype(np.float32)
     codes = rng.integers(0, kc, (65, s)).astype(np.uint8)
