@@ -18,6 +18,29 @@ from lantern_tpu.graph.validate import validate
 from lantern_tpu.storage.snapshot import InsertLog, load_snapshot, save_snapshot
 
 
+class ReindexHandle:
+    """Handle for an in-flight concurrent reindex (see
+    Index.reindex_concurrent). ``join()`` waits for the background rebuild
+    and re-raises any build error; ``done`` polls."""
+
+    def __init__(self):
+        import threading
+
+        self._done = threading.Event()
+        self.exception: BaseException | None = None
+        self.swapped = False
+
+    def join(self, timeout: float | None = None) -> bool:
+        self._done.wait(timeout)
+        if self.exception is not None:
+            raise self.exception
+        return self.swapped
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+
 class Index:
     """A single HNSW vector index: host engine + device mirror.
 
@@ -35,8 +58,14 @@ class Index:
         log_path: str | None = None,
         keep_raw: bool = True,
     ):
+        import threading
+
         self.params = params
         self._engine_kind = engine
+        # serializes engine swaps (reindex_concurrent) against mutations;
+        # searches read lock-free (stale-but-consistent until the swap)
+        self._swap_lock = threading.Lock()
+        self._graph_eng = None  # engine the cached device mirror was built from
         if engine == "native":
             from lantern_tpu.native import NativeHnsw
 
@@ -164,6 +193,11 @@ class Index:
             if self.params.pq and self._keep_raw else None
         )
         vectors = self._preprocess(vectors)
+        with self._swap_lock:
+            return self._add_locked(vectors, labels, build, batch, seed, raw,
+                                    **kw)
+
+    def _add_locked(self, vectors, labels, build, batch, seed, raw, **kw):
         if labels is None:
             labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
         if build == "device":
@@ -252,28 +286,34 @@ class Index:
         (the reference's delete runs under GenericXLog, delete.c:40-70), so
         deletes survive a crash before the next save()."""
         labels = np.asarray(labels, np.uint64)
-        n = self._eng.mark_deleted(labels)
-        if self._log is not None:
-            self._log.append_delete(labels)
-        self._graph = None
+        with self._swap_lock:
+            n = self._eng.mark_deleted(labels)
+            if self._log is not None:
+                self._log.append_delete(labels)
+            self._graph = None
         return n
 
     # ---- query ----
     @property
     def device_graph(self):
-        if self._graph is None:
+        # identity-keyed on the engine: a concurrent reindex swap invalidates
+        # the mirror even if a racing search caches one mid-swap
+        eng = self._eng
+        if self._graph is None or self._graph_eng is not eng:
             from lantern_tpu.config import QuantKind
 
             if self.params.pq:
-                self._graph = to_device(self._eng, pq_codebook=self._codebook)
+                g = to_device(eng, pq_codebook=self._codebook)
             elif self.params.quant == QuantKind.I8:
-                self._graph = to_device(self._eng, quant=QuantKind.I8)
+                g = to_device(eng, quant=QuantKind.I8)
             elif self.params.quant == QuantKind.F16:
                 import jax.numpy as jnp
 
-                self._graph = to_device(self._eng, dtype=jnp.bfloat16)
+                g = to_device(eng, dtype=jnp.bfloat16)
             else:
-                self._graph = to_device(self._eng)
+                g = to_device(eng)
+            self._graph = g
+            self._graph_eng = eng
         return self._graph
 
     def search(
@@ -578,6 +618,131 @@ class Index:
         tombstones — see compact())."""
         return self.compact(params=params, build=build, **kw)
 
+    def reindex_concurrent(self, params: HnswParams | None = None,
+                           build: str = "host", batch: int = 1024,
+                           seed: int = 0, **kw) -> ReindexHandle:
+        """``REINDEX CONCURRENTLY`` analog (hnsw_concurrent.sql:1-15):
+        rebuild without tombstones in a BACKGROUND thread and atomically
+        swap the engine in.
+
+        Searches keep running against the old graph throughout
+        (stale-but-consistent until the swap — the reference's concurrent
+        reindex likewise serves the old index until the transactional
+        swap), and add()/delete() traffic that lands during the rebuild is
+        replayed into the new engine under the swap lock before it goes
+        live, so no acknowledged write is lost.
+
+        Threading contract: any number of search threads; at most ONE
+        writer thread issuing add/delete/save concurrently with the
+        rebuild (the facade is not a multi-writer structure — neither is
+        the reference's insert path, which serializes on the header page
+        lock, insert.c:103-110).
+
+        Returns a ReindexHandle; ``join()`` re-raises rebuild errors.
+        In-memory only: call save() afterwards to persist.
+        """
+        import threading
+
+        p = self.params if params is None else params
+        for field in ("dim", "metric", "quant", "pq"):
+            if getattr(p, field) != getattr(self.params, field):
+                raise ValueError(
+                    f"reindex_concurrent cannot change {field}; rebuild "
+                    "from the raw rows instead"
+                )
+        if build == "device" and self._engine_kind != "native":
+            raise ValueError("build='device' requires the native engine")
+        old_eng = self._eng
+        with self._swap_lock:
+            n0 = old_eng.n
+            live0 = ~np.asarray(old_eng.deleted[:n0], bool)
+            vecs0 = np.asarray(old_eng.vectors[:n0])[live0].copy()
+            labs0 = np.asarray(old_eng.labels[:n0])[live0].astype(np.uint64)
+        handle = ReindexHandle()
+
+        def work():
+            try:
+                n_live = len(labs0)
+                cap = max(8, n_live)
+                if self._engine_kind == "native":
+                    from lantern_tpu.native import NativeHnsw
+
+                    new_eng = NativeHnsw(p, capacity=cap, seed=seed)
+                else:
+                    from lantern_tpu.graph.host_build import HostHnsw
+
+                    new_eng = HostHnsw(p, capacity=cap, seed=seed)
+                if n_live:
+                    if build == "device":
+                        from lantern_tpu.graph.build_device import (
+                            build_on_device,
+                        )
+
+                        g = build_on_device(
+                            vecs0, p, batch=batch, seed=seed, labels=labs0,
+                            **{k: kw[k] for k in
+                               ("candidates", "flat_until", "store")
+                               if k in kw},
+                        )
+                        new_eng.import_graph(g, labels=labs0)
+                    else:
+                        new_eng.add(vecs0, labels=labs0, **kw)
+                # swap: replay writes that landed during the rebuild, then
+                # publish the new engine — brief, under the writer lock
+                with self._swap_lock:
+                    n1 = old_eng.n
+                    dead1 = np.asarray(old_eng.deleted[:n1], bool)
+                    keep_delta = None
+                    if n1 > n0:
+                        keep_delta = ~dead1[n0:n1]
+                        add_v = np.asarray(
+                            old_eng.vectors[n0:n1])[keep_delta]
+                        add_l = np.asarray(
+                            old_eng.labels[n0:n1])[keep_delta].astype(
+                                np.uint64)
+                        if len(add_l):
+                            if self._engine_kind == "native":
+                                need = new_eng.n + len(add_l)
+                                if need > new_eng._cap:
+                                    nc = max(8, new_eng._cap)
+                                    while nc < need:
+                                        nc *= 2
+                                    new_eng.grow(nc)
+                            new_eng.add(add_v, labels=add_l)
+                    newly_dead = labs0[dead1[:n0][live0]]
+                    if len(newly_dead):
+                        new_eng.mark_deleted(newly_dead)
+                    # rerank source: new slot order = live0 rows then the
+                    # kept delta rows, both in old slot order
+                    rows = self._raw_rows
+                    if rows is not None and len(rows) == n1:
+                        idx = np.concatenate([
+                            np.nonzero(live0)[0],
+                            (n0 + np.nonzero(keep_delta)[0])
+                            if keep_delta is not None
+                            else np.empty(0, np.int64),
+                        ])
+                        new_rows = rows[idx]
+                        self._rerank_chunks = [new_rows]
+                        self._rerank_rows = new_rows
+                        self._rerank_dev = None
+                    self._eng = new_eng
+                    self.params = p
+                    self._graph = None
+                    self._label_sort = None
+                    handle.swapped = True
+                # keep the retired engine reachable until the handle dies:
+                # an in-flight search may still hold views over it
+                handle._retired = old_eng
+            except BaseException as e:  # surfaced by join()
+                handle.exception = e
+            finally:
+                handle._done.set()
+
+        threading.Thread(target=work, name="lantern-reindex",
+                         daemon=True).start()
+        return handle
+
     @property
     def size(self) -> int:
         return self._eng.n
@@ -608,8 +773,13 @@ class Index:
             path, engine=engine, extra_capacity=extra_capacity,
             return_codebook=True, return_log_state=True,
         )
+        import threading
+
         ix = cls.__new__(cls)
         ix.params = eng.p
+        ix._loaded_log_state = log_state  # (generation, lsn) the snapshot folds
+        ix._swap_lock = threading.Lock()
+        ix._graph_eng = None
         ix._engine_kind = engine
         ix._eng = eng
         ix._graph = None
@@ -638,6 +808,18 @@ class Index:
                 ))
             ix._log = InsertLog(log_path, width, eng.vectors.dtype)
         return ix
+
+    @classmethod
+    def follow(cls, path: str, log_path: str, engine: str = "native",
+               params: HnswParams | None = None):
+        """Open a read-only, log-following replica of another process's
+        index (snapshot + live insert log) — the WAL-replica analog
+        (scripts/test_wal.py:8-40). Returns an IndexFollower whose
+        ``catchup()`` applies newly durable writer records; safe while the
+        writer is mid-append (torn tails read as "not yet")."""
+        from lantern_tpu.storage.replica import IndexFollower
+
+        return IndexFollower(path, log_path, engine=engine, params=params)
 
     def __repr__(self):
         return (

@@ -309,6 +309,81 @@ def load_snapshot(path: str, engine: str = "native", extra_capacity: int = 0,
     raise ValueError(f"unknown engine {engine!r}")
 
 
+def read_snapshot_header(path: str):
+    """Parse just a snapshot file's header (no arrays) -> the _read_header
+    tuple, or None if the file is absent or torn mid-header. Followers use
+    this to detect a writer's save() without loading the whole snapshot."""
+    try:
+        with open(path, "rb") as f:
+            return _read_header(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_log_header(path: str):
+    """-> (version, generation, header_end_offset) of an insert log, or None
+    if the file is absent or its header torn (crash mid-header-write: no
+    record can follow an incomplete header). Raises on a wrong magic or a
+    version newer than supported — misparsing a future grammar and then
+    'truncating the torn tail' would destroy valid records."""
+    try:
+        f = open(path, "rb")
+    except FileNotFoundError:
+        return None
+    with f:
+        magic_ver = f.read(8)
+        if len(magic_ver) < 8:
+            return None
+        magic, version = struct.unpack("<II", magic_ver)
+        if magic != _LOG_MAGIC:
+            raise ValueError("not an insert log")
+        if version > _LOG_VERSION:
+            raise ValueError(
+                f"insert log version {version} is newer than supported "
+                f"{_LOG_VERSION}; please rebuild the index"
+            )
+        if version >= 2:
+            gen_bytes = f.read(8)
+            if len(gen_bytes) < 8:
+                return None  # v2+ header torn before its generation field
+            return version, struct.unpack("<Q", gen_bytes)[0], 16
+        return version, 0, 8
+
+
+def scan_log_tail(path: str, width: int, dtype, offset: int, version: int):
+    """Parse complete records from byte ``offset`` -> (ops, new_offset).
+
+    Stops at the first incomplete/CRC-failing record WITHOUT consuming it —
+    a live writer may still be appending that record (its bytes become valid
+    on the writer's next flush), so a torn tail reads as "not yet", never as
+    corruption. Callers resume from ``new_offset`` on the next poll. This is
+    what lets a read replica tail a log another process is appending to
+    (the WAL-follow analog, scripts/test_wal.py:8-40).
+    """
+    dtype = np.dtype(dtype)
+    payload = width * dtype.itemsize
+    hdr = struct.calcsize(_LOG_REC_HDR)
+    ops = []
+    with open(path, "rb") as f:
+        f.seek(offset)
+        valid_end = offset
+        while True:
+            h = f.read(hdr)
+            if len(h) < hdr:
+                break  # clean EOF or torn header: stop
+            label, plen, crc = struct.unpack(_LOG_REC_HDR, h)
+            if version >= 3 and plen == _DELETE_PLEN and crc == 0:
+                ops.append(("del", label))
+                valid_end += hdr
+                continue
+            raw = f.read(plen)
+            if len(raw) < plen or zlib.crc32(raw) != crc or plen != payload:
+                break  # torn/corrupt tail: discard
+            ops.append(("add", label, np.frombuffer(raw, dtype)))
+            valid_end += hdr + plen
+    return ops, valid_end
+
+
 class InsertLog:
     """Append-only insert log with CRC-framed records (WAL-append analog).
 
@@ -440,51 +515,12 @@ class InsertLog:
         ``valid_end`` is the byte offset just past the last valid record
         (records are variable-size once tombstones exist).
         """
-        dtype = np.dtype(dtype)
-        payload = width * dtype.itemsize
-        hdr = struct.calcsize(_LOG_REC_HDR)
-        ops = []
-        with open(path, "rb") as f:
-            magic_ver = f.read(8)
-            if len(magic_ver) < 8:
-                # torn header (crash mid-write): nothing could follow it
-                return [], 0, 0, 0
-            if struct.unpack("<II", magic_ver)[0] != _LOG_MAGIC:
-                raise ValueError("not an insert log")
-            version = struct.unpack("<II", magic_ver)[1]
-            if version > _LOG_VERSION:
-                # refuse rather than misparse with the v3 grammar — the
-                # caller's torn-tail truncation would otherwise DESTROY
-                # every record of a future-format log (snapshot headers get
-                # the same 'newer than supported' treatment)
-                raise ValueError(
-                    f"insert log version {version} is newer than supported "
-                    f"{_LOG_VERSION}; please rebuild the index"
-                )
-            generation = 0
-            pos = 8
-            if version >= 2:
-                gen_bytes = f.read(8)
-                if len(gen_bytes) < 8:
-                    # v2+ header torn before its generation field
-                    return [], 0, 0, 0
-                (generation,) = struct.unpack("<Q", gen_bytes)
-                pos = 16
-            valid_end = pos
-            while True:
-                h = f.read(hdr)
-                if len(h) < hdr:
-                    break  # clean EOF or torn header: stop
-                label, plen, crc = struct.unpack(_LOG_REC_HDR, h)
-                if version >= 3 and plen == _DELETE_PLEN and crc == 0:
-                    ops.append(("del", label))
-                    valid_end += hdr
-                    continue
-                raw = f.read(plen)
-                if len(raw) < plen or zlib.crc32(raw) != crc or plen != payload:
-                    break  # torn/corrupt tail: discard
-                ops.append(("add", label, np.frombuffer(raw, dtype)))
-                valid_end += hdr + plen
+        hdr = read_log_header(path)
+        if hdr is None:
+            # torn header (crash mid-write): nothing could follow it
+            return [], 0, 0, 0
+        version, generation, pos = hdr
+        ops, valid_end = scan_log_tail(path, width, dtype, pos, version)
         return ops, generation, len(ops), valid_end
 
     @classmethod
