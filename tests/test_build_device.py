@@ -311,8 +311,20 @@ def test_index_device_bulk_build(rng, tmp_path):
     ix.add(extra)
     d3, labels3 = ix.search(extra, k=1, mode="graph", ef=48)
     assert (labels3[:, 0] == 2000 + np.arange(4)).all()
-    with pytest.raises(ValueError, match="empty index"):
-        ix.add(extra, build="device")
+    # device-speed incremental ingest through the facade (VERDICT r3 #9):
+    # a non-empty index routes build='device' through device_insert and
+    # re-imports — new rows searchable on device AND host, old rows intact
+    extra2 = rng.standard_normal((300, 32)).astype(np.float32)
+    ix.add(extra2, build="device", batch=128)
+    assert ix.size == 2304
+    d4, labels4 = ix.search(extra2[:8], k=1, mode="graph", ef=48)
+    assert (labels4[:, 0] == 2004 + np.arange(8)).all()
+    ids_cpu2, _ = ix._eng.search(extra2[0], k=3, ef=48)
+    assert ids_cpu2[0] == 2004
+    d5, labels5 = ix.search(base[:8], k=5, mode="graph", ef=48)
+    assert (labels5[:, 0] == np.arange(8)).all()
+    rep = ix.validate()
+    rep.raise_if_failed()
     # builder kwargs forward through the facade (hybrid pool schedule)
     ix3 = Index(p)
     ix3.add(base[:1200], build="device", batch=256,
