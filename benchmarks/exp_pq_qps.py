@@ -18,7 +18,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import lantern_tpu  # noqa: F401, E402  (compile cache)
-from lantern_tpu.flat import flat_search_pq  # noqa: E402
+from lantern_tpu.flat import flat_search_pq, flat_search_pq_rerank  # noqa: E402
 from lantern_tpu.ops.pallas_kernels import (  # noqa: E402
     codebook_hilo,
     pq_decode_mxu_hilo,
@@ -67,13 +67,31 @@ def main():
                               jnp.arange(ITERS, dtype=jnp.int32))
         return acc
 
+    vecs = jax.random.normal(
+        jax.random.PRNGKey(3), (N, DIM), jnp.float32).astype(jnp.bfloat16)
+    sqn = jnp.zeros((N,), jnp.float32)  # rerank recomputes |x|^2 from rows
+
+    @jax.jit
+    def run_rerank(codes, queries, vecs, sqn):
+        def body(acc, i):
+            d, ids = flat_search_pq_rerank(
+                codes, cents, vecs, sqn, queries + 1e-3 * i, k=10,
+                shortlist=300)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(ITERS, dtype=jnp.int32))
+        return acc
+
     t_dec = timed(run_decode, codes)
     t_scan = timed(run_scan, codes, queries)
+    t_rr = timed(run_rerank, codes, queries, vecs, sqn)
     out = {
         "n": N, "q": Q, "iters": ITERS,
         "decode_ms_per_sweep": round(t_dec * 1e3, 3),
         "flat_pq_ms_per_batch": round(t_scan * 1e3, 3),
         "flat_pq_qps": round(Q / t_scan, 1),
+        "rerank300_ms_per_batch": round(t_rr * 1e3, 3),
+        "rerank300_qps": round(Q / t_rr, 1),
     }
     print(json.dumps(out))
 

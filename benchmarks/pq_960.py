@@ -137,7 +137,11 @@ def main():
             "compression_vs_f32": round(dim * 4 / nsub, 1),
             "opq": use_opq,
         }
-        for short in (100, 300):
+        # shortlist depths chosen from the r4 degeneracy diagnosis
+        # (benchmarks/pq960_diag.json): exact-ADC coverage of the true
+        # 10-NN is pq240 0.987 / pq120 0.833 at S=300 and 1.0 / 1.0 at
+        # S=600 — rerank600 is the full-recall config at this data shape.
+        for short in (100, 300, 600):
             _stage(f"pq{nsub} rerank{short}")
             out["configs"][f"pq{nsub}_rerank{short}"] = {
                 "qps": round(timed(
@@ -151,6 +155,24 @@ def main():
                     codes, cents, base_bf, sq, queries, k=10,
                     shortlist=short, rotation=rot)[1]),
             }
+    # Why raw ADC recall collapses at this data shape (r4 diagnosis, full
+    # numbers in benchmarks/pq960_diag.json / exp_pq960_diag.py): with 1024
+    # clusters x ~488 points and i.i.d. jitter 0.35 at 960 d, every
+    # same-cluster point concentrates at d2 ~216-238 from the query
+    # (chi-square concentration: the entire true top-10..300 span is
+    # d2 = 21.5), while the PQ quantization noise on the ADC estimate is
+    # std 36.9 (pq240) / 30.2 (pq120) — the ranking signal sits BELOW the
+    # noise floor, so no codebook can order same-cluster points (OPQ is
+    # NOT mis-trained: reconstruction MSE 74.8 at 16x compression is 8.7%
+    # of the within-cluster d2). The noisy ordering still CONCENTRATES the
+    # true neighbors: exact-ADC shortlist coverage reaches 1.0 at S=600
+    # for both codes, which is what the rerank legs harvest.
+    out["raw_adc_recall_explanation"] = (
+        "data-degenerate within-cluster ranking, not OPQ mis-training: "
+        "true d2 gap rank10->300 = 21.5 vs ADC noise std 36.9 (pq240) / "
+        "30.2 (pq120); exact-ADC top-600 coverage of true 10-NN = 1.0 "
+        "for both — see benchmarks/pq960_diag.json"
+    )
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
     try:

@@ -342,6 +342,17 @@ def flat_search_pq_rerank(
     vectors in the heap table alongside its PQ index (pqvec/pq columns), so
     full-precision rows always exist.
 
+    Recall knobs, measured r4 (benchmarks/exp_rerank_sweep.py, 1M x 128d):
+    raising ``recall_target`` to 0.99 makes the approx top-SHORTLIST
+    reduction ~4x slower (18.2 -> 76.3 ms/batch) — buy coverage with a
+    DEEPER shortlist at the default 0.95 target instead (the approx
+    reduction's misses concentrate at the shortlist boundary, so depth
+    recovers them at ~linear rerank cost, e.g. the benchmark rerank500/600
+    legs). Sorting the shortlist ids ascending before the row gather
+    measured NEUTRAL (18.17 vs 18.23 ms — the batched [Q, L] row gather is
+    not address-order-bound at this shape); don't re-litigate without
+    profiling.
+
     ``sq_norms`` is accepted for API stability but no longer read: |x|^2 is
     recomputed from the gathered rows (see inline note).
     """

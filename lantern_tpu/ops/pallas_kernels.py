@@ -143,22 +143,28 @@ def _make_hilo_kernel(grp: int, lo_w: int):
     GROUP g:
 
         p1[r, (l,s,j)]  = cent[s, lo_w*hi(r,s) + l, j]    (ohh @ C1, MXU)
-        dec[r, (s,j)]   = sum_l [lo(r,s) == l] * p1       (mask + VPU adds)
+        dec[r, (s,j)]   = p1 at l = lo(r,s)               (select tree, VPU)
 
-    Stage 1's output columns are L-MAJOR (l, s, j): the sum over l then
-    reduces by log2(lo_w) slice-halving VPU adds instead of a 0/1 reduction
-    matmul — the r3 profile showed that matmul paying 4x MXU output-lane
-    padding, as many executed FLOPs as stage 1 itself (the rewrite measured
-    11.55 -> 8.26 ms per 1M x (S=32, dim=128) decode at the 16/16 split,
-    benchmarks/exp_hilo_v2.py).
+    Stage 1's output columns are L-MAJOR (l, s, j), and the lo selection is
+    a log2(lo_w)-level SELECT TREE: at each level the remaining l-range
+    halves, driven by a threshold compare on a remainder operand. Two
+    earlier stage-2 formulations were measured and replaced (exp_hilo_v2 /
+    v3, 1M x (S=32, dim=128) decode sweep, r3-r4):
+      - 0/1 reduction matmul: paid 4x MXU output-lane padding — as many
+        executed FLOPs as stage 1 (11.55 ms)
+      - one-hot mask + slice-halving adds over [T, w2]: needed the lo code
+        SPREAD to all w2 columns, and that spread matmul
+        [T, grp] @ [grp, w2] pads its contraction dim 8 -> 128 — again
+        nearly stage-1 cost (8.26 ms; 7.95 this hardware epoch)
+      - select tree (current): the remainder is spread to ONE 128-lane
+        tile only ([T, grp] @ [grp, 128]); wider conditions are concats of
+        identical full-lane tiles (layout-friendly copies), and the
+        full-width remainder update keeps every column copy consistent so
+        one spread serves all levels (6.10 ms — benchmarks/exp_hilo_v3.py)
 
-    The (hi_w, lo_w) split is a free parameter minimized by _hilo_plan:
-    executed stage-1 MXU tiles per group are roundup(G*hi_w, 128) x
-    roundup(G*lo_w*dsub, 128), so the optimal split balances the one-hot
-    width against the stage-1 output width — at S=32/dsub=4 the 32/8 split
-    executes [T,128]@[128,128] x 8 groups, HALF the padded FLOPs of the
-    16/16 split's [T,128]@[128,512] x 4 (and half the stage-2 VPU
-    mask+reduce work).
+    The (hi_w, lo_w) split is a free parameter minimized by _hilo_plan;
+    the 32/8 split was re-measured WITH the select tree (8.04 ms) and the
+    16/16 split stays pinned.
 
     The grid runs over ROW TILES only; the group loop is unrolled inside
     the kernel with the whole grouped codebook VMEM-resident (512*G*dim
@@ -167,15 +173,15 @@ def _make_hilo_kernel(grp: int, lo_w: int):
     pad+int32 convert profiled at 0.9 ms/1M).
 
     All stages are 2-D MXU/VPU ops (Mosaic-safe). Output is bit-identical
-    to _pq_decode_kernel: every stage selects exactly one bf16 codebook
-    value per (s, j) (f32 accumulation of a single nonzero is exact; the
-    hi/lo rep/compare values are < 256 hence exact in bf16, and each
-    slice-halving add sums one nonzero with zeros), so callers see the
-    same decoded block.
+    to _pq_decode_kernel: stage 1 selects exactly one bf16 codebook value
+    per (l, s, j) (f32 accumulation of a single nonzero is exact; the
+    hi/lo rep/compare values are < 256 hence exact in bf16), and the
+    select tree picks exactly the matching l entry, so callers see the
+    same decoded block (exactness asserted on TPU in exp_hilo_v3 and in
+    tests/test_pallas.py on the interpret path).
     """
 
-    def kernel(codes_ref, c1_ref, exph_ref, colh_ref, expl_ref, coll_ref,
-               out_ref):
+    def kernel(codes_ref, c1_ref, exph_ref, colh_ref, exps_ref, out_ref):
         ng = c1_ref.shape[0]
         w2 = c1_ref.shape[2]
         gd = w2 // lo_w
@@ -191,13 +197,23 @@ def _make_hilo_kernel(grp: int, lo_w: int):
                             preferred_element_type=jnp.float32)
             ohh = (rep_h == colh_ref[:]).astype(jnp.bfloat16)  # [T, G*hi_w]
             p1 = jnp.dot(ohh, c1_ref[g], preferred_element_type=jnp.float32)
-            rep_l = jnp.dot(clo, expl_ref[:],
-                            preferred_element_type=jnp.float32)
-            acc = jnp.where(rep_l == coll_ref[:], p1, 0.0)  # [T, (l, s, j)]
+            # remainder spread to min(128, w2/2) lanes: column c has
+            # subspace s(c) = (c // dsub) % grp, repeating every gd lanes
+            rem = jnp.dot(clo, exps_ref[:],
+                          preferred_element_type=jnp.float32)
+            acc = p1
             width = w2
-            while width > gd:                           # sum over l
+            while width > gd:                           # select over l
                 half = width // 2
-                acc = acc[:, :half] + acc[:, half:width]
+                lev = jnp.float32(half // gd)
+                if rem.shape[1] >= half:
+                    cond = rem[:, :half] >= lev
+                else:
+                    c0 = rem >= lev
+                    cond = jnp.concatenate(
+                        [c0] * (half // rem.shape[1]), axis=1)
+                acc = jnp.where(cond, acc[:, half:width], acc[:, :half])
+                rem = rem - lev * (rem >= lev).astype(jnp.float32)
                 width = half
             outs.append(acc.astype(out_ref.dtype))      # [T, G*dsub]
         out_ref[:] = outs[0] if ng == 1 else jnp.concatenate(outs, axis=1)
@@ -313,10 +329,16 @@ def pq_decode_mxu_hilo(
         raise ValueError("c1 shape is not a valid hi/lo grouped codebook")
     tile = min(tile, max(16, n))
     # per-step VMEM: one group's p1 f32 + rep/mask bf16 [tile, w2]
-    # (~10 B/elt live at once) + codes/out blocks + the WHOLE grouped
-    # codebook (resident across steps)
+    # (~10 B/elt live at once) + the per-group outs list (ng*gd, doubled
+    # for the final concat's stack copy) + a double-buffered output block
+    # + codes + the WHOLE grouped codebook (resident across steps).
+    # Calibrated against a measured TPU compile: s=240/ng=30/tile=1024
+    # allocated 22.07 M scoped VMEM (r4), which the previous
+    # w2*10+dim*2+s*4 model put at 12.1 M — the missing terms scale with
+    # ng*gd (outs+concat) and dim (output buffering).
     while tile > 32 and (
-        tile * (w2 * 10 + dim * 2 + s * 4) + ng * w1 * w2 * 2 > 14 * 2**20
+        tile * (w2 * 10 + dim * 6 + s * 4 + ng * gd * 4)
+        + ng * w1 * w2 * 2 > 14 * 2**20
     ):
         tile //= 2
     npad = -(-n // tile) * tile
@@ -328,15 +350,21 @@ def pq_decode_mxu_hilo(
     colh = (
         jax.lax.broadcasted_iota(jnp.int32, (1, w1), 1) % hi_w
     ).astype(jnp.float32)
-    # lo spread/compare tables at the L-MAJOR p1 layout (l, s, j):
-    # column l*G*dsub + s*dsub + j -> subspace s = (col // dsub) % grp,
-    # level l = col // (G*dsub)
-    j0 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 0)
-    j1 = jax.lax.broadcasted_iota(jnp.int32, (grp, w2), 1)
-    exp_l = (j0 == (j1 // dsub) % grp).astype(jnp.bfloat16)
-    coll = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1) // gd
-    ).astype(jnp.float32)
+    # lo remainder spread table at the L-MAJOR p1 layout (l, s, j):
+    # column c -> subspace s = (c // dsub) % grp (repeats every gd lanes).
+    # spread_w = largest gd*2^t <= 128 so it divides every select-tree
+    # width above it (wider conditions are concats of identical tiles);
+    # below it the condition is a slice. gd >= 128 degrades to a
+    # half-width spread (correct, never hit at production shapes).
+    if gd >= 128:
+        spread_w = w2 // 2
+    else:
+        spread_w = gd
+        while spread_w * 2 <= min(128, w2 // 2):
+            spread_w *= 2
+    j0 = jax.lax.broadcasted_iota(jnp.int32, (grp, spread_w), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (grp, spread_w), 1)
+    exp_s = (j0 == (j1 // dsub) % grp).astype(jnp.bfloat16)
     out = pl.pallas_call(
         _make_hilo_kernel(grp, lo_w),
         out_shape=jax.ShapeDtypeStruct((npad, dim), jnp.bfloat16),
@@ -346,12 +374,11 @@ def pq_decode_mxu_hilo(
             pl.BlockSpec((ng, w1, w2), lambda i: (0, 0, 0)),
             pl.BlockSpec((grp, w1), lambda i: (0, 0)),
             pl.BlockSpec((1, w1), lambda i: (0, 0)),
-            pl.BlockSpec((grp, w2), lambda i: (0, 0)),
-            pl.BlockSpec((1, w2), lambda i: (0, 0)),
+            pl.BlockSpec((grp, spread_w), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0)),
         interpret=interpret,
-    )(codes_u8, c1, exp_h, colh, exp_l, coll)
+    )(codes_u8, c1, exp_h, colh, exp_s)
     return out[:n]
 
 
