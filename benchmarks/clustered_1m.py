@@ -154,18 +154,22 @@ def run_config(n, dim, q, iters, jitter, n_centers=4096):
         # 500-deep leg: at 1M/4096 centers a cluster holds ~244 points and
         # boundary queries interleave two clusters' points, so coverage at
         # S=300 caps recall ~0.97 at jitter 0.35; S=500 spans both (r4,
-        # VERDICT #3's >=0.99 bar). Depth, not approx-reduction precision:
-        # recall_target 0.99 in the ADC stage measured ~4x slower
-        # (benchmarks/exp_rerank_sweep.py) — the 0.95 target's misses
-        # concentrate at the shortlist boundary, so depth recovers them.
-        for short in (100, 300, 500):
-            _stage(f"jitter={jitter}: pq rerank{short}")
+        # VERDICT #3's >=0.99 bar). The approx reduction's ~0.95-target
+        # retention also caps recall (misses are near-uniform over ranks
+        # when within-cluster ADC order is noisy), so the full-recall leg
+        # runs at recall_target 0.99 (rt99) — ~4x slower ADC stage
+        # (exp_rerank_sweep.py); speed vs recall is reported as legs.
+        for short, rt in ((100, 0.95), (300, 0.95), (500, 0.95),
+                          (500, 0.99)):
+            tag = f"pq_rerank{short}" + ("_rt99" if rt > 0.95 else "")
+            _stage(f"jitter={jitter}: {tag}")
 
             @jax.jit
-            def timed_pq(c, ct, b, sn, qbs, short=short):
+            def timed_pq(c, ct, b, sn, qbs, short=short, rt=rt):
                 def body(acc, qb):
                     d, _ = flat_search_pq_rerank(
-                        c, ct, b, sn, qb, k=K, shortlist=short, rotation=rot
+                        c, ct, b, sn, qb, k=K, shortlist=short,
+                        recall_target=rt, rotation=rot
                     )
                     return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0)), None
                 return jax.lax.scan(body, jnp.float32(0), qbs)[0]
@@ -179,14 +183,14 @@ def run_config(n, dim, q, iters, jitter, n_centers=4096):
                 best = min(best, time.perf_counter() - t0)
             _, ids_pr = flat_search_pq_rerank(
                 codes, cents, g.vectors, sq, queries[:nq_r], k=K,
-                shortlist=short, rotation=rot,
+                shortlist=short, recall_target=rt, rotation=rot,
             )
             ids_np = np.asarray(ids_pr)
             rec = float(np.mean([
                 len(set(a[a >= 0].tolist()) & set(b.tolist())) / K
                 for a, b in zip(ids_np, true_np)
             ]))
-            out[f"pq_rerank{short}"] = {
+            out[tag] = {
                 "qps": round(q * iters_pq / best, 1),
                 "recall": round(rec, 4),
                 "opq": True,

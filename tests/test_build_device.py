@@ -24,19 +24,26 @@ def _recall(found_ids, true_ids):
     return hits / true_ids.size
 
 
+# Shared shape family: XLA:CPU compiles one scanned insert-round program
+# per DISTINCT (n, dim, m, efc, batch, metric, store) tuple, and compiles
+# dominate this file's wall time (428 s measured r4, ~all of it compile).
+# Tests reuse the module fixture's graph/shape wherever semantics allow.
+FIX_N, FIX_DIM, FIX_EFC, FIX_BATCH = 2000, 16, 48, 128
+
+
 @pytest.fixture(scope="module")
 def built():
     rng = np.random.default_rng(60)
-    base = rng.standard_normal((3000, 32)).astype(np.float32)
-    p = HnswParams(dim=32, m=8, ef_construction=64)
-    g = build_on_device(base, p, batch=256, seed=0)
+    base = rng.standard_normal((FIX_N, FIX_DIM)).astype(np.float32)
+    p = HnswParams(dim=FIX_DIM, m=8, ef_construction=FIX_EFC)
+    g = build_on_device(base, p, batch=FIX_BATCH, seed=0)
     return g, base, p
 
 
 def test_device_build_recall_parity(built):
     g, base, p = built
     rng = np.random.default_rng(61)
-    q = rng.standard_normal((32, 32)).astype(np.float32)
+    q = rng.standard_normal((32, FIX_DIM)).astype(np.float32)
     _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
     _, ids, _ = search_batched(g, jnp.array(q), k=10, ef=64)
     rec_dev = _recall(np.asarray(ids), np.asarray(tids))
@@ -44,7 +51,7 @@ def test_device_build_recall_parity(built):
     from lantern_tpu.graph.device import to_device
     from lantern_tpu.native import NativeHnsw
 
-    ix = NativeHnsw(p, capacity=3000, seed=0)
+    ix = NativeHnsw(p, capacity=FIX_N, seed=0)
     ix.add(base)
     _, ids_h, _ = search_batched(to_device(ix), jnp.array(q), k=10, ef=64)
     rec_host = _recall(np.asarray(ids_h), np.asarray(tids))
@@ -55,7 +62,7 @@ def test_device_build_recall_parity(built):
 def test_device_build_structure(built):
     g, base, p = built
     n = int(g.num_nodes)
-    assert n == 3000
+    assert n == FIX_N
     nb = np.asarray(g.neighbors0[:n])
     rows = np.arange(n)[:, None]
     assert ((nb != rows) | (nb < 0)).all(), "self loops"
@@ -81,10 +88,10 @@ def test_device_build_labels(built):
 
 def test_device_build_cosine():
     rng = np.random.default_rng(63)
-    base = rng.standard_normal((1500, 24)).astype(np.float32)
-    p = HnswParams(dim=24, m=8, ef_construction=48, metric=Metric.COS)
-    g = build_on_device(base, p, batch=256, seed=0)
-    q = rng.standard_normal((16, 24)).astype(np.float32)
+    base = rng.standard_normal((800, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48, metric=Metric.COS)
+    g = build_on_device(base, p, batch=128, seed=0)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
     _, tids = exact_search(jnp.array(q), jnp.array(base), k=10, metric=Metric.COS)
     _, ids, _ = search_batched(g, jnp.array(q), k=10, ef=64)
     assert _recall(np.asarray(ids), np.asarray(tids)) >= 0.85
@@ -159,20 +166,20 @@ def test_device_build_tiny():
     assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
 
 
-def test_device_build_bf16_store():
+def test_device_build_bf16_store(built):
     """store="bf16" (the 10M-scale HBM mode): bf16 table end to end —
-    recall parity with the f32 build, structure valid, donate accepted."""
+    recall parity with the f32 build, structure valid, donate accepted.
+    The module fixture's graph is the f32 comparator (same data, params,
+    and batch — one build and one program shape saved)."""
     import jax
 
+    g32, base, p = built
     rng = np.random.default_rng(65)
-    base = rng.standard_normal((2000, 16)).astype(np.float32)
-    p = HnswParams(dim=16, m=8, ef_construction=48)
-    g32 = build_on_device(base, p, batch=256, seed=0)
     base_bf = jnp.asarray(base).astype(jnp.bfloat16)
-    g16 = build_on_device(base_bf, p, batch=256, seed=0, donate=True,
+    g16 = build_on_device(base_bf, p, batch=FIX_BATCH, seed=0, donate=True,
                           store="bf16")
     assert g16.vectors.dtype == jnp.bfloat16
-    assert int(g16.num_nodes) == 2000
+    assert int(g16.num_nodes) == FIX_N
     q = rng.standard_normal((32, 16)).astype(np.float32)
     _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
     _, ids32, _ = search_batched(g32, jnp.array(q), k=10, ef=64)
@@ -185,20 +192,19 @@ def test_device_build_bf16_store():
     del jax
 
 
-def test_device_build_hybrid_candidates():
+def test_device_build_hybrid_candidates(built):
     """candidates="hybrid": flat pools below flat_until, beam above — the
     10M-scale schedule (flat is O(prefix)/round; beam is size-independent).
-    Both phases must execute and the graph must stay near flat quality."""
+    Both phases must execute and the graph must stay near flat quality.
+    The module fixture's flat-built graph is the comparator."""
+    g_flat, base, p = built
     rng = np.random.default_rng(66)
-    base = rng.standard_normal((3000, 24)).astype(np.float32)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
-    g_flat = build_on_device(base, p, batch=256, seed=0)
-    g_hy = build_on_device(base, p, batch=256, seed=0,
-                           candidates="hybrid", flat_until=1000)
-    assert int(g_hy.num_nodes) == 3000
+    g_hy = build_on_device(base, p, batch=FIX_BATCH, seed=0,
+                           candidates="hybrid", flat_until=800)
+    assert int(g_hy.num_nodes) == FIX_N
     rep = validate_device(g_hy, full=True)
     rep.raise_if_failed()
-    q = rng.standard_normal((32, 24)).astype(np.float32)
+    q = rng.standard_normal((32, FIX_DIM)).astype(np.float32)
     _, tids = exact_search(jnp.array(q), jnp.array(base), k=10)
     _, ids_f, _ = search_batched(g_flat, jnp.array(q), k=10, ef=64)
     _, ids_h, _ = search_batched(g_hy, jnp.array(q), k=10, ef=64)
@@ -214,15 +220,15 @@ def test_device_insert_hybrid_routes_to_beam():
     from lantern_tpu.graph.build_device import device_insert
 
     rng = np.random.default_rng(67)
-    base = rng.standard_normal((1500, 24)).astype(np.float32)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
-    g = build_on_device(base, p, batch=256, seed=0)
-    extra = rng.standard_normal((300, 24)).astype(np.float32)
+    base = rng.standard_normal((800, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    g = build_on_device(base, p, batch=128, seed=0)
+    extra = rng.standard_normal((300, 16)).astype(np.float32)
     g2 = device_insert(g, extra, batch=128, seed=1,
                        candidates="hybrid", flat_until=1)
-    assert int(g2.num_nodes) == 1800
+    assert int(g2.num_nodes) == 1100
     allv = np.concatenate([base, extra])
-    q = rng.standard_normal((24, 24)).astype(np.float32)
+    q = rng.standard_normal((24, 16)).astype(np.float32)
     _, tids = exact_search(jnp.array(q), jnp.array(allv), k=10)
     _, ids, _ = search_batched(g2, jnp.array(q), k=10, ef=64)
     rec = _recall(np.asarray(ids), np.asarray(tids))
@@ -258,13 +264,15 @@ def test_reorder_bfs_identical_results():
     from lantern_tpu.graph.reorder import reorder_bfs
 
     rng = np.random.default_rng(71)
-    base = rng.standard_normal((1500, 16)).astype(np.float32)
+    # (800, 16, efc 48, batch 128): the shape family shared with the
+    # insert/hybrid tests — one compiled build program serves all three
+    base = rng.standard_normal((800, 16)).astype(np.float32)
     p = HnswParams(dim=16, m=8, ef_construction=48)
     g = build_on_device(base, p, batch=128, seed=0)
     g2 = reorder_bfs(g)
     rep = validate_device(g2, full=True)
     rep.raise_if_failed()
-    q = jnp.array(base[:32])
+    q = jnp.array(base[:24])
     d1, i1, _ = search_batched(g, q, k=10, ef=48)
     d2, _, lab2 = search_batched(g2, q, k=10, ef=48)
     back = join_labels(np.asarray(lab2)).astype(np.int64)
@@ -290,11 +298,11 @@ def test_index_device_bulk_build(rng, tmp_path):
 
     from lantern_tpu.index import Index
 
-    base = rng.standard_normal((2000, 32)).astype(np.float32)
-    p = HnswParams(dim=32, m=8, ef_construction=48)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = Index(p, capacity=16)  # undersized: _grow must kick in
-    ix.add(base, build="device")
-    assert ix.size == 2000
+    ix.add(base, build="device", batch=128)
+    assert ix.size == 1200
     d, labels = ix.search(base[:8], k=5, mode="graph", ef=48)
     assert (labels[:, 0] == np.arange(8)).all()
     # the engine's own (CPU) search agrees on the imported graph
@@ -307,28 +315,28 @@ def test_index_device_bulk_build(rng, tmp_path):
     d2, labels2 = ix2.search(base[:8], k=5, mode="graph", ef=48)
     np.testing.assert_array_equal(labels, labels2)
     # incremental host inserts still work after a device bulk load
-    extra = rng.standard_normal((4, 32)).astype(np.float32)
+    extra = rng.standard_normal((4, 16)).astype(np.float32)
     ix.add(extra)
     d3, labels3 = ix.search(extra, k=1, mode="graph", ef=48)
-    assert (labels3[:, 0] == 2000 + np.arange(4)).all()
+    assert (labels3[:, 0] == 1200 + np.arange(4)).all()
     # device-speed incremental ingest through the facade (VERDICT r3 #9):
     # a non-empty index routes build='device' through device_insert and
     # re-imports — new rows searchable on device AND host, old rows intact
-    extra2 = rng.standard_normal((300, 32)).astype(np.float32)
+    extra2 = rng.standard_normal((300, 16)).astype(np.float32)
     ix.add(extra2, build="device", batch=128)
-    assert ix.size == 2304
+    assert ix.size == 1504
     d4, labels4 = ix.search(extra2[:8], k=1, mode="graph", ef=48)
-    assert (labels4[:, 0] == 2004 + np.arange(8)).all()
+    assert (labels4[:, 0] == 1204 + np.arange(8)).all()
     ids_cpu2, _ = ix._eng.search(extra2[0], k=3, ef=48)
-    assert ids_cpu2[0] == 2004
+    assert ids_cpu2[0] == 1204
     d5, labels5 = ix.search(base[:8], k=5, mode="graph", ef=48)
     assert (labels5[:, 0] == np.arange(8)).all()
     rep = ix.validate()
     rep.raise_if_failed()
     # builder kwargs forward through the facade (hybrid pool schedule)
     ix3 = Index(p)
-    ix3.add(base[:1200], build="device", batch=256,
-            candidates="hybrid", flat_until=400)
+    ix3.add(base[:800], build="device", batch=128,
+            candidates="hybrid", flat_until=300)
     _, lab3 = ix3.search(base[:8], k=5, mode="graph", ef=48)
     assert (lab3[:, 0] == np.arange(8)).all()
 
@@ -338,12 +346,12 @@ def test_compact_device_build():
     from lantern_tpu.index import Index
 
     rng = np.random.default_rng(77)
-    base = rng.standard_normal((900, 32)).astype(np.float32)
-    p = HnswParams(dim=32, m=8, ef_construction=48)
+    base = rng.standard_normal((900, 16)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = Index(p, capacity=900)
-    ix.add(base, build="device", batch=256)
+    ix.add(base, build="device", batch=128)
     ix.delete(np.arange(0, 450, dtype=np.uint64))
-    ix.compact(build="device", batch=256)
+    ix.compact(build="device", batch=128)
     assert ix.size == 450 and ix.num_deleted == 0
     ix.validate().raise_if_failed()
     _, labels = ix.search(base[500], k=5, mode="graph", ef=64)

@@ -22,9 +22,12 @@ def _recall(found_ids, true_ids):
 def sharded_ix():
     assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
     rng = np.random.default_rng(30)
-    base = rng.standard_normal((4000, 32)).astype(np.float32)
+    # 2400 x 16 (300 rows/shard): big enough for recall bars, small enough
+    # that the compact_sharded rebuild (the file's largest XLA:CPU compile)
+    # stays cheap — this file is compile-time-bound (265 s measured r4)
+    base = rng.standard_normal((2400, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=32, m=8, ef_construction=64)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = build_sharded(base, p, mesh, seed=0)
     return ix, base, mesh
 
@@ -32,7 +35,7 @@ def sharded_ix():
 def test_sharded_recall(sharded_ix):
     ix, base, mesh = sharded_ix
     rng = np.random.default_rng(31)
-    queries = rng.standard_normal((16, 32)).astype(np.float32)
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
     d, gids, labels = search_sharded(ix, jnp.array(queries), k=10, ef=48)
     _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
     rec = _recall(np.asarray(gids), np.asarray(true_ids))
@@ -57,7 +60,7 @@ def test_sharded_placement(sharded_ix):
 def test_sharded_dedup_distances_sorted(sharded_ix):
     ix, base, mesh = sharded_ix
     rng = np.random.default_rng(32)
-    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    queries = rng.standard_normal((4, 16)).astype(np.float32)
     d, gids, _ = search_sharded(ix, jnp.array(queries), k=20, ef=48)
     d = np.asarray(d)
     dd = np.where(np.isfinite(d), d, np.inf)
@@ -89,12 +92,12 @@ def test_build_sharded_device_parallel():
     from lantern_tpu.parallel import build_sharded_device
 
     rng = np.random.default_rng(40)
-    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = build_sharded_device(base, p, mesh, batch=128, seed=0)
     assert ix.graphs.vectors.sharding.spec[0] == "shard"
-    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
     d, gids, labels = search_sharded(ix, jnp.array(queries), k=10, ef=48)
     _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
     rec = _recall(np.asarray(gids), np.asarray(true_ids))
@@ -116,13 +119,13 @@ def test_build_sharded_device_bf16_store():
     from lantern_tpu.parallel import build_sharded_device
 
     rng = np.random.default_rng(41)
-    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = build_sharded_device(base, p, mesh, batch=128, seed=0, store="bf16")
     assert ix.graphs.vectors.dtype == jnp.bfloat16
     assert ix.graphs.vectors.sharding.spec[0] == "shard"
-    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
     d, gids, _ = search_sharded(ix, jnp.array(queries), k=10, ef=48)
     _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
     rec = _recall(np.asarray(gids), np.asarray(true_ids))
@@ -135,12 +138,12 @@ def test_build_sharded_device_hybrid_candidates():
     from lantern_tpu.parallel import build_sharded_device
 
     rng = np.random.default_rng(43)
-    base = rng.standard_normal((2400, 24)).astype(np.float32)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
-    ix = build_sharded_device(base, p, mesh, batch=64, seed=0,
-                              candidates="hybrid", flat_until=128)
-    queries = rng.standard_normal((16, 24)).astype(np.float32)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
+    ix = build_sharded_device(base, p, mesh, batch=128, seed=0,
+                              candidates="hybrid", flat_until=64)
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
     d, gids, _ = search_sharded(ix, jnp.array(queries), k=10, ef=64)
     _, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)
     rec = _recall(np.asarray(gids), np.asarray(true_ids))
@@ -157,7 +160,7 @@ def test_build_sharded_device_hamming():
     from lantern_tpu.parallel import build_sharded_device
 
     rng = np.random.default_rng(41)
-    raw = rng.standard_normal((1600, 64)).astype(np.float32)
+    raw = rng.standard_normal((800, 64)).astype(np.float32)
     packed = np.asarray(pack_bits(raw))  # [n, 2] u32 words
     mesh = make_mesh(n_shards=8)
     p = HnswParams(dim=64, m=8, ef_construction=48, metric=Metric.HAMMING,
@@ -206,9 +209,11 @@ def test_sharded_save_load_bf16_store(tmp_path):
     from lantern_tpu.parallel.sharded import load_sharded, save_sharded
 
     rng = np.random.default_rng(43)
-    base = rng.standard_normal((1600, 24)).astype(np.float32)
+    # same (1200, 16, efc 48, batch 128) bf16 shape as
+    # test_build_sharded_device_bf16_store: the build program jit-caches
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = build_sharded_device(base, p, mesh, batch=128, seed=0, store="bf16")
     d = str(tmp_path / "bf16_sharded")
     save_sharded(ix, d)
@@ -339,7 +344,7 @@ def test_sharded_flat_exact_matches_oracle(sharded_ix):
 
     ix, base, mesh = sharded_ix
     rng = np.random.default_rng(32)
-    queries = rng.standard_normal((12, 32)).astype(np.float32)
+    queries = rng.standard_normal((12, 16)).astype(np.float32)
     d, gids, labels = flat_search_sharded(ix, jnp.array(queries), k=10,
                                           exact=True)
     true_d, true_ids = exact_search(jnp.array(queries), jnp.array(base), k=10)

@@ -229,9 +229,9 @@ def test_pq_sharded_insert(pq_sharded):
 
 def test_i8_sharded_insert():
     rng = np.random.default_rng(66)
-    base = rng.standard_normal((1600, 24)).astype(np.float32)
+    base = rng.standard_normal((1600, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=48)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix8 = quantize_sharded(build_sharded(base[:1200], p, mesh, seed=0),
                            mesh, quant="i8")
     extra = base[1200:]
@@ -253,15 +253,15 @@ def test_i8_sharded_insert():
 
 def test_i8_sharded_beam_and_flat():
     rng = np.random.default_rng(60)
-    base = rng.standard_normal((2000, 24)).astype(np.float32)
+    base = rng.standard_normal((1200, 16)).astype(np.float32)
     mesh = make_mesh(n_shards=8)
-    p = HnswParams(dim=24, m=8, ef_construction=64)
+    p = HnswParams(dim=16, m=8, ef_construction=48)
     ix = build_sharded(base, p, mesh, seed=0)
     ix8 = quantize_sharded(ix, mesh, quant="i8")
     assert ix8.graphs.vectors.dtype == jnp.int8
     assert ix8.graphs.vec_scales is not None
     assert ix8.graphs.vec_scales.sharding.spec[0] == "shard"
-    q = jnp.asarray(rng.standard_normal((16, 24)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
     _, true_ids = exact_search(q, jnp.asarray(base), k=10)
     _, g_beam, _ = search_sharded(ix8, q, k=10, ef=64)
     rec_beam = _recall(np.asarray(g_beam), np.asarray(true_ids))
