@@ -159,9 +159,17 @@ def run_config(n, dim, q, iters, jitter, n_centers=4096):
         # when within-cluster ADC order is noisy), so the full-recall leg
         # runs at recall_target 0.99 (rt99) — ~4x slower ADC stage
         # (exp_rerank_sweep.py); speed vs recall is reported as legs.
-        for short, rt in ((100, 0.95), (300, 0.95), (500, 0.95),
-                          (500, 0.99)):
-            tag = f"pq_rerank{short}" + ("_rt99" if rt > 0.95 else "")
+        # src="f32": rerank on the raw f32 rows (`base`) instead of the
+        # graph's bf16 table — the reference's heap-rerank semantics. The
+        # pq_960 f32src legs showed bf16 row quantization caps reranked
+        # recall when within-cluster rank gaps are small; at 128 d the
+        # effect is smaller but the full-recall leg should not pay it.
+        for short, rt, src in ((100, 0.95, "bf16"), (300, 0.95, "bf16"),
+                               (500, 0.95, "bf16"), (500, 0.99, "bf16"),
+                               (500, 0.95, "f32")):
+            tag = (f"pq_rerank{short}" + ("_rt99" if rt > 0.95 else "")
+                   + ("_f32src" if src == "f32" else ""))
+            rows = base if src == "f32" else g.vectors
             _stage(f"jitter={jitter}: {tag}")
 
             @jax.jit
@@ -174,15 +182,15 @@ def run_config(n, dim, q, iters, jitter, n_centers=4096):
                     return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0)), None
                 return jax.lax.scan(body, jnp.float32(0), qbs)[0]
 
-            _ = float(timed_pq(codes, cents, g.vectors, sq, q_batches_pq))
+            _ = float(timed_pq(codes, cents, rows, sq, q_batches_pq))
             best = float("inf")
             for rep in range(2):
                 t0 = time.perf_counter()
-                _ = float(timed_pq(codes, cents, g.vectors, sq,
+                _ = float(timed_pq(codes, cents, rows, sq,
                                    q_batches_pq + 1e-4 * (rep + 1)))
                 best = min(best, time.perf_counter() - t0)
             _, ids_pr = flat_search_pq_rerank(
-                codes, cents, g.vectors, sq, queries[:nq_r], k=K,
+                codes, cents, rows, sq, queries[:nq_r], k=K,
                 shortlist=short, recall_target=rt, rotation=rot,
             )
             ids_np = np.asarray(ids_pr)

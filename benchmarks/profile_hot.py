@@ -158,8 +158,12 @@ def main():
             wall = time.perf_counter() - t0
         print(f"16 rounds x {BATCH}: {wall:.3f}s = {wall/16*1e3:.1f} ms/round "
               f"({16*BATCH/wall:.0f} inserts/s)")
-    elif TARGET in ("pq", "flat"):
-        from lantern_tpu.flat import flat_search, flat_search_pq
+    elif TARGET in ("pq", "flat", "rerank"):
+        from lantern_tpu.flat import (
+            flat_search,
+            flat_search_pq,
+            flat_search_pq_rerank,
+        )
 
         if TARGET == "pq":
             s, kc, dsub = 32, 256, dim // 32
@@ -167,6 +171,19 @@ def main():
             cents = jax.random.normal(jax.random.PRNGKey(1), (s, kc, dsub))
             queries = jax.random.normal(jax.random.PRNGKey(2), (Q, dim))
             run = lambda qs: flat_search_pq(codes, cents, qs, k=10)  # noqa: E731
+        elif TARGET == "rerank":
+            # the production two-stage path (VERDICT r3 #2 bar: rerank300
+            # >= 60k QPS at 1M): ADC shortlist=300 + on-device bf16 rerank
+            s, kc, dsub = 32, 256, dim // 32
+            short = int(os.environ.get("PROF_SHORT", 300))
+            codes = jax.random.randint(key, (N, s), 0, 256, jnp.uint8)
+            cents = jax.random.normal(jax.random.PRNGKey(1), (s, kc, dsub))
+            vecs = jax.random.normal(jax.random.PRNGKey(3), (N, dim),
+                                     jnp.bfloat16)
+            sq = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)
+            queries = jax.random.normal(jax.random.PRNGKey(2), (Q, dim))
+            run = lambda qs: flat_search_pq_rerank(  # noqa: E731
+                codes, cents, vecs, sq, qs, k=10, shortlist=short)
         else:
             vecs = jax.random.normal(key, (N, dim), jnp.bfloat16)
             sq = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=1)

@@ -316,7 +316,8 @@ def flat_search_pq(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "shortlist", "metric", "recall_target")
+    jax.jit,
+    static_argnames=("k", "shortlist", "metric", "recall_target", "block"),
 )
 def flat_search_pq_rerank(
     codes: jax.Array,        # [N, S] uint8 PQ codes
@@ -328,6 +329,7 @@ def flat_search_pq_rerank(
     shortlist: int = 100,
     metric: int = int(Metric.L2SQ),
     recall_target: float = 0.95,
+    block: int = 1 << 19,
     deleted: jax.Array | None = None,
     rotation: jax.Array | None = None,
 ):
@@ -357,9 +359,15 @@ def flat_search_pq_rerank(
     recomputed from the gathered rows (see inline note).
     """
     metric_e = Metric(metric)
+    # ``block`` is forwarded to the ADC scan: some one-shot (n <= block)
+    # approx-top-k program shapes deterministically hang this
+    # environment's XLA TPU compile at large dim (see benchmarks/pq_960.py
+    # BLK note) — callers force the blocked-merge path by passing a block
+    # smaller than n.
     _, ids = flat_search_pq(
         codes, centroids, queries, k=shortlist, metric=metric,
-        recall_target=recall_target, deleted=deleted, rotation=rotation,
+        recall_target=recall_target, block=block, deleted=deleted,
+        rotation=rotation,
     )
     safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
     rows = vectors[safe].astype(jnp.float32)      # [Q, L, d]
