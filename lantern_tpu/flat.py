@@ -47,14 +47,25 @@ from lantern_tpu.ops.distance import _popcount_u32
 ONESHOT_MAX_N = 1 << 21
 
 
-def _scores(vectors, sq_norms, queries_f32, metric: Metric, vec_scales=None):
-    """[Q, d] x [N, d] -> [Q, N] DESCENDING-better scores (rank-equivalent)."""
+def _scores(vectors, sq_norms, queries_f32, metric: Metric, vec_scales=None,
+            precision=None):
+    """[Q, d] x [N, d] -> [Q, N] DESCENDING-better scores (rank-equivalent).
+
+    ``precision``: forwarded to the scoring matmul. The TPU's DEFAULT
+    matmul truncates f32 operands to bf16, which adds ~0.1 d2 noise —
+    larger than per-rank distance gaps on clustered data (~0.03-0.1 at
+    jitter 0.35), so a default-precision "exact" scan returns a top-k that
+    disagrees with the true f32 ranking by ~2.6% (measured,
+    benchmarks/exp_rerank_precision.py r4). flat_search(exact=True) — the
+    ground-truth/comparator mode — passes Precision.HIGHEST.
+    """
     qf = queries_f32.astype(vectors.dtype) if vectors.dtype != jnp.int8 else (
         queries_f32.astype(jnp.bfloat16)
     )
     op = vectors.astype(jnp.bfloat16) if vectors.dtype == jnp.int8 else vectors
     dots = jax.lax.dot_general(
-        qf, op, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qf, op, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if vec_scales is not None:  # i8 codes carry a per-vector scale
         dots = dots * vec_scales[None, :]
@@ -196,11 +207,19 @@ def flat_search(
         qf = queries.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=1)
 
+    # exact=True is the ground-truth/comparator mode: score at HIGHEST
+    # precision so f32 tables rank by TRUE f32 distances (the default TPU
+    # matmul bf16-truncates f32 operands; see _scores). bf16/i8 tables are
+    # quantized at rest — HIGHEST there only burns passes on already-lossy
+    # operands, so keep the default.
+    prec = (jax.lax.Precision.HIGHEST
+            if exact and vectors.dtype == jnp.float32 else None)
+
     def score_fn(v, nrm=None, sc=None, dele=None):
         if metric == Metric.HAMMING:
             s = _hamming_scores(v, queries)
         else:
-            s = _scores(v, nrm, queries, metric, sc)
+            s = _scores(v, nrm, queries, metric, sc, precision=prec)
         if dele is not None:
             s = jnp.where(dele[None, :], -jnp.inf, s)
         return s
@@ -372,14 +391,24 @@ def flat_search_pq_rerank(
     safe = jnp.clip(ids, 0, vectors.shape[0] - 1)
     rows = vectors[safe].astype(jnp.float32)      # [Q, L, d]
     qf = queries.astype(jnp.float32)
-    dots = jnp.einsum("qd,qld->ql", qf, rows, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU's DEFAULT matmul truncates f32 operands to
+    # bf16, adding ~0.1 d2 noise — comparable to the per-rank gaps on
+    # clustered data (~0.03-0.1 at jitter 0.35), which capped reranked
+    # recall at 0.974 even with perfect shortlist coverage
+    # (benchmarks/exp_rerank_precision.py, r4). The rerank matmul is tiny
+    # ([Q, L, d] ~ 0.16 GFLOP at Q=1024/L=300/d=128), so the 6-pass f32
+    # emulation costs nothing next to the ADC scan it follows.
+    dots = jnp.einsum("qd,qld->ql", qf, rows,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     # |x|^2 recomputed from the gathered rows, NOT gathered from sq_norms:
     # the [Q, L] SCALAR gather costs ~100x more per byte than the row gather
     # it would piggyback on (CLAUDE.md) — measured 27.9k -> 29.6k QPS on the
     # 1M rerank@300. Also keeps |x|^2 consistent with the (possibly bf16)
     # rerank rows the dots were computed from.
     x_sq = jnp.einsum("qld,qld->ql", rows, rows,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     if metric_e == Metric.L2SQ:
         # clamp: bf16 rerank rows can round a self-match fractionally negative
         d = jnp.maximum(
