@@ -151,21 +151,21 @@ def run_config(n, dim, q, iters, jitter, n_centers=4096):
         q_batches_pq = jnp.stack([
             queries + 1e-3 * (i + 1) for i in range(iters_pq)
         ])
-        # 500-deep leg: at 1M/4096 centers a cluster holds ~244 points and
-        # boundary queries interleave two clusters' points, so coverage at
-        # S=300 caps recall ~0.97 at jitter 0.35; S=500 spans both (r4,
-        # VERDICT #3's >=0.99 bar). The approx reduction's ~0.95-target
-        # retention also caps recall (misses are near-uniform over ranks
-        # when within-cluster ADC order is noisy), so the full-recall leg
-        # runs at recall_target 0.99 (rt99) — ~4x slower ADC stage
-        # (exp_rerank_sweep.py); speed vs recall is reported as legs.
-        # src="f32": rerank on the raw f32 rows (`base`) instead of the
-        # graph's bf16 table — the reference's heap-rerank semantics. The
-        # pq_960 f32src legs showed bf16 row quantization caps reranked
-        # recall when within-cluster rank gaps are small; at 128 d the
-        # effect is smaller but the full-recall leg should not pay it.
+        # Leg taxonomy (r4). src="f32" reranks on the raw f32 rows (`base`)
+        # instead of the graph's bf16 table — the reference's heap-rerank
+        # semantics (full-precision vectors live in the heap table beside
+        # the PQ index), and the config the >=0.99 recall bar is scored on:
+        # bf16 ROW quantization alone adds ~0.05 d2 noise, comparable to
+        # the per-rank gaps at jitter 0.35 (exp_rerank_precision.py — the
+        # same mechanism that made default-precision MATMULS cap measured
+        # recall at 0.974). The bf16-src legs are the memory-parity story.
+        # Depth: at 1M/4096 centers a cluster holds ~244 points and
+        # boundary queries interleave two clusters, so S=500 spans both.
+        # recall_target stays 0.95 everywhere: rt 0.99 measured ~4x slower
+        # for +0.000-0.001 recall (exp_rerank_sweep.py + the r4a artifact's
+        # rt99 legs) — depth, not approx-reduction precision, buys recall.
         for short, rt, src in ((100, 0.95, "bf16"), (300, 0.95, "bf16"),
-                               (500, 0.95, "bf16"), (500, 0.99, "bf16"),
+                               (300, 0.95, "f32"), (500, 0.95, "bf16"),
                                (500, 0.95, "f32")):
             tag = (f"pq_rerank{short}" + ("_rt99" if rt > 0.95 else "")
                    + ("_f32src" if src == "f32" else ""))

@@ -140,24 +140,23 @@ def main():
         # shortlist depths chosen from the r4 degeneracy diagnosis
         # (benchmarks/pq960_diag.json): exact-ADC coverage of the true
         # 10-NN is pq240 0.987 / pq120 0.833 at S=300 and 1.0 / 1.0 at
-        # S=600. At THIS data shape the approx-reduction misses are
-        # uniform across shortlist ranks (within-cluster ADC order is
-        # noise), so depth saturates at the ~0.95-target retention and
-        # the full-recall legs need recall_target 0.99 (rt99 below) —
-        # the speed/recall tradeoff is reported as separate legs.
+        # S=600 — depth is the recall knob here. recall_target stays 0.95:
+        # the r4a rt99 legs measured identical recall at ~4x the cost
+        # (0.9676 vs 0.9680 at pq240/rerank600 — approx-retention is not
+        # the cap), so they were dropped.
         # src="f32" legs rerank on the raw f32 rows instead of the bf16
-        # table: at this data shape consecutive true ranks sit ~0.07 d2
-        # apart (21.5 over ~290 ranks) while bf16 row quantization adds
-        # ~O(0.3) d2 noise, so a bf16 rerank source caps recall at ~0.968
-        # regardless of shortlist depth or recall_target (the rt99 legs
-        # measure the same 0.968 as rt95 — approx-retention is NOT the
-        # cap). Reranking from the f32 rows is exactly the reference's
+        # table: consecutive true ranks sit ~0.07 d2 apart (21.5 over
+        # ~290 ranks) while bf16 row quantization adds ~O(0.3) d2 noise,
+        # so the bf16 rerank source pays a real recall tax at this data
+        # shape. Reranking from the f32 rows is exactly the reference's
         # semantics: raw vectors stay in the heap table beside the PQ
         # index (lantern.sql pq columns), so a full-precision rerank
-        # source always exists.
+        # source always exists. (Both leg families are scored against
+        # HIGHEST-precision exact truth since r4c — the earlier "bf16
+        # caps at 0.968" reading mixed in ground-truth matmul noise; see
+        # BASELINE.md round 4c and exp_rerank_precision.py.)
         for short, rt, src in (
             (100, 0.95, "bf16"), (300, 0.95, "bf16"), (600, 0.95, "bf16"),
-            (300, 0.99, "bf16"), (600, 0.99, "bf16"),
             (300, 0.95, "f32"), (600, 0.95, "f32"),
         ):
             tag = (f"pq{nsub}_rerank{short}"
