@@ -136,9 +136,21 @@ def bench_config(n, dim, q, iters, host_build: bool):
     # is tracked for regressions, not as a roofline claim.
     out["build_mfu_approx"] = _mfu(n * n * dim / max(warm_s, 1e-9))
 
-    # bf16 storage for the search paths (+25-30% QPS at equal recall)
-    g_search = dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
+    # bf16 storage for the search paths (+25-30% QPS at equal recall), plus
+    # the r5 norm-folded row table: x2 rides the candidate row gather, so
+    # the beam's [Q, C] sq_norms SCALAR gather (467 us/iter = 30% of a 1M
+    # ef64 batch, trace fusion.88) disappears (graph/device.aug_norms_table)
+    from lantern_tpu.graph.device import with_aug_norms
+
+    g_search = with_aug_norms(
+        dataclasses.replace(g, vectors=g.vectors.astype(jnp.bfloat16))
+    )
     expand = int(os.environ.get("BENCH_EXPAND", 2))
+    # upper-scan multi-seeding: the dense entry scan prices top-16 the same
+    # as top-1, and 16 separated seeds reach the query basin in fewer beam
+    # iterations (beam_opt_result.json: recall strictly above single-seed
+    # at every measured iteration budget)
+    seeds = int(os.environ.get("BENCH_SEEDS", 16))
     q_batches = jnp.stack([
         jax.random.normal(jax.random.PRNGKey(100 + i), (q, dim), jnp.float32)
         for i in range(iters)
@@ -276,14 +288,25 @@ def bench_config(n, dim, q, iters, host_build: bool):
     out["graph"] = {}
     for ef in EF_SWEEP:
         _stage(f"n={n}: graph search ef={ef}")
-        def graph_fn(graph, qb, ef=ef):
-            d, _, _ = search_batched(graph, qb, k=K, ef=ef, expand=expand)
+        # serving config for the headline ef=64 leg: iteration budget 32
+        # (vs the 2*ef/expand+16 = 80 default) — with 16 seeds the recall
+        # measured right below stays at-or-above the uncapped single-seed
+        # baseline (beam_opt_result.json: 22.0k QPS @ 0.2664 vs 11.5k @
+        # 0.2609), so the cap trades only straggler iterations that no
+        # longer buy recall. Other ef legs keep default semantics.
+        mi = (int(os.environ["BENCH_MAX_ITERS"])
+              if "BENCH_MAX_ITERS" in os.environ
+              else (32 if ef == 64 else None))
+
+        def graph_fn(graph, qb, ef=ef, mi=mi):
+            d, _, _ = search_batched(graph, qb, k=K, ef=ef, expand=expand,
+                                     seeds=seeds, max_iters=mi)
             return d
 
         qps = _timed_qps(graph_fn, g_search, q_batches, q, iters)
         _, ids_g, labs_g, gstats = search_batched(
             g_search, queries[:nq_r], k=K, ef=ef, expand=expand,
-            with_stats=True,
+            seeds=seeds, max_iters=mi, with_stats=True,
         )
         # achieved HBM bandwidth of the beam's gathers: per query, `visited`
         # candidate vector rows (dim x bf16) + `expanded` adjacency rows
@@ -306,7 +329,42 @@ def bench_config(n, dim, q, iters, host_build: bool):
             "visited_per_query": round(visited, 1),
             "achieved_gbps": round(achieved_gbps, 1),
             "bw_util": round(achieved_gbps / PEAK_GBPS, 4),
+            "seeds": seeds,
+            "max_iters": mi,
         }
+
+    # ---- PQ-coded graph: ADC in the beam (beyond-HBM serving mode) ----
+    # codes ride the SAME adjacency the f32 build produced (the reference
+    # builds its PQ HNSW over decoded vectors, build.c:497-517; exact-vector
+    # edges are a superset in quality). Storage = N*S code bytes, 16x less
+    # than f32 — the mode that serves when vectors no longer fit HBM.
+    if os.environ.get("BENCH_SKIP_PQ") != "1" and n >= 1_000_000:
+        from lantern_tpu.graph.device import QUANT_PQ
+
+        g_pq = dataclasses.replace(
+            g, vectors=codes, quant=QUANT_PQ, pq_codebook=cents,
+            vectors_aug=None,
+        )
+        out["graph_pq"] = {}
+        for ef in (64, 128):
+            _stage(f"n={n}: graph_pq search ef={ef}")
+
+            def gpq_fn(graph, qb, ef=ef):
+                d, _, _ = search_batched(graph, qb, k=K, ef=ef,
+                                         expand=expand, seeds=seeds)
+                return d
+
+            qps = _timed_qps(gpq_fn, g_pq, q_batches, q, iters)
+            _, ids_gp, labs_gp = search_batched(
+                g_pq, queries[:nq_r], k=K, ef=ef, expand=expand, seeds=seeds,
+            )
+            out["graph_pq"][f"ef{ef}"] = {
+                "qps": round(qps, 1),
+                "recall_vs_f32_truth": round(
+                    _recall(_graph_labels_np(ids_gp, labs_gp), true_np), 4
+                ),
+                "code_bytes_per_vector": int(codes.shape[1]),
+            }
 
     # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
     _stage(f"n={n}: cpu baseline")
@@ -478,6 +536,10 @@ def main():
         "build_mfu": head.get("build_mfu_approx"),
         "peak_tflops_assumed": PEAK_TFLOPS,
         "peak_gbps_assumed": PEAK_GBPS,
+        # all vs_* ratios are vs this repo's own native engine (usearch
+        # submodule empty in the snapshot; zero egress) — see BASELINE.md
+        # "Comparator caveat"; order-of-magnitude, self-refereed
+        "cpu_comparator": "self:native/hnsw_engine.cpp",
         "device": str(jax.devices()[0]),
         "full": "bench_full.json",
     }
@@ -490,6 +552,11 @@ def main():
             summary["pq_rerank_qps"] = head[f"flat_pq_rerank{short}"]["qps"]
             summary["pq_rerank_shortlist"] = short
             break
+    if "graph_pq" in head:
+        summary["graph_pq_qps_ef64"] = head["graph_pq"]["ef64"]["qps"]
+        summary["graph_pq_recall_ef64"] = (
+            head["graph_pq"]["ef64"]["recall_vs_f32_truth"]
+        )
     # the full per-config tree goes to a side file: r3's summary line grew
     # past the driver's capture window and parsed as null (VERDICT r3 weak
     # #4) — the driver-facing line must stay compact (<= ~1.5 KB) and LAST

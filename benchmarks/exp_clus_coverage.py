@@ -107,7 +107,12 @@ def main():
 
         def body(acc, c):
             s = score(c)                                   # [NQ, B]
-            # rank contribution: rows scoring strictly better than each true
+            # rank contribution: rows scoring strictly better than each true.
+            # NOTE: the [NQ, K, BLOCK] compare (~1.3e9 bool at BLOCK=2^19)
+            # relies on XLA:TPU fusing the compare into the reduce — this
+            # script is TPU-only by construction; on the CPU mesh the
+            # materialized intermediate would OOM. Chunk over K if that
+            # assumption ever breaks.
             acc = acc + jnp.sum(
                 (s[:, None, :] > s_true[:, :, None]).astype(jnp.int32),
                 axis=2)

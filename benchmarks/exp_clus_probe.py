@@ -92,9 +92,15 @@ def main():
             safe = jnp.clip(ids, 0, base.shape[0] - 1)
             rows = base[safe]
             qf = queries.astype(jnp.float32)
+            # HIGHEST precision: this leg is the exact-f32 CONTROL, so it
+            # must not share the default matmul's bf16-truncation noise with
+            # the candidate legs (CLAUDE.md measurement discipline; without
+            # this the control reads ~0.974 vs the HIGHEST-precision truth).
+            hp = dict(preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             d = (jnp.sum(qf * qf, 1)[:, None]
-                 - 2.0 * jnp.einsum("qd,qld->ql", qf, rows)
-                 + jnp.einsum("qld,qld->ql", rows, rows))
+                 - 2.0 * jnp.einsum("qd,qld->ql", qf, rows, **hp)
+                 + jnp.einsum("qld,qld->ql", rows, rows, **hp))
             d = jnp.where(ids >= 0, d, jnp.inf)
             sd, si = jax.lax.sort((d, ids), dimension=1, num_keys=1)
             out["rerank300_exact_f32_recall"] = cover(si[:, :K])

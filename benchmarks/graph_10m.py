@@ -58,7 +58,30 @@ def main():
     iters = int(os.environ.get("G10M_ITERS", 10))
     jitter = float(os.environ.get("G10M_JITTER", 0.35))
     n_centers = 32768
-    cand = os.environ.get("G10M_CANDIDATES", "flat")  # flat | hybrid | beam
+    # r5 default hybrid: pure "flat" candidate generation scans the ENTIRE
+    # built prefix per insert round — Σ rounds B*prefix*dim*2 ≈ n²·dim
+    # FLOPs, O(n²) in table size. That term explains the r4 10M collapse
+    # (18.9k inserts/s at 1M -> 3.4k at 10M: 100x the prefix-scan FLOPs for
+    # 10x the rows); hybrid switches to beam candidate search once the
+    # graph can route (see build_device.build_on_device flat_until).
+    cand = os.environ.get("G10M_CANDIDATES", "hybrid")  # flat | hybrid | beam
+
+    # compile-share accounting (the r4c lesson: the clustered-1M "build
+    # cliff" was compile time, not data) — jax.monitoring reports every
+    # backend compile duration; cold-vs-warm splits the XLA share out
+    compile_acc = {"s": 0.0, "n": 0}
+
+    def _on_event(event: str, duration: float, **kw):
+        if "backend_compile" in event:
+            compile_acc["s"] += duration
+            compile_acc["n"] += 1
+
+    try:
+        from jax import monitoring as _mon
+
+        _mon.register_event_duration_secs_listener(_on_event)
+    except Exception:  # noqa: BLE001
+        pass
 
     centers = jax.random.normal(jax.random.PRNGKey(0), (n_centers, dim),
                                 jnp.float32)
@@ -96,17 +119,61 @@ def main():
     base = base.astype(jnp.bfloat16)  # frees the 4.8 GB f32 table
 
     params = HnswParams(dim=dim, m=16, ef_construction=128)
-    _stage("device build (10M, donated bf16 vectors)")
-    t0 = time.perf_counter()
-    g = build_on_device(base, params, batch=1024, seed=0, donate=True,
-                        store="bf16", candidates=cand)
+
+    def _build(tag, tab):
+        c0 = compile_acc["s"]
+        _stage(f"device build ({tag}, donated bf16 vectors)")
+        t0 = time.perf_counter()
+        gg = build_on_device(tab, params, batch=1024, seed=0, donate=True,
+                             store="bf16", candidates=cand)
+        _ = int(jnp.sum(gg.levels))
+        wall = time.perf_counter() - t0
+        out[f"build_device_{tag}_s"] = round(wall, 1)
+        out[f"build_{tag}_compile_s"] = round(compile_acc["s"] - c0, 1)
+        _stage(f"build {tag} {wall:.0f}s "
+               f"(compile {compile_acc['s'] - c0:.0f}s)")
+        return gg
+
+    # cold: fresh-process compiles included (persistent cache may still
+    # serve some); warm: the steady-state rebuild cost (r4c methodology)
+    g = _build("cold", base)
     del base  # donated — the table now lives as g.vectors (bf16)
-    _ = int(jnp.sum(g.levels))
-    out["build_device_s"] = round(time.perf_counter() - t0, 1)
+    if os.environ.get("G10M_SKIP_WARM") != "1":
+        del g  # free adjacency+vectors before regenerating the table
+        base2, _q2 = gen(centers)
+        base2 = base2.astype(jnp.bfloat16)
+        g = _build("warm", base2)
+        del base2
+        out["build_device_s"] = out["build_device_warm_s"]
+    else:
+        out["build_device_s"] = out["build_device_cold_s"]
     out["build_inserts_per_s"] = round(n / out["build_device_s"], 1)
     out["store"] = "bf16"
     out["candidates"] = cand
-    _stage(f"build {out['build_device_s']}s")
+
+    # steady-state incremental-insert probe at FULL table size: one more
+    # 16k-row device_insert on the built 10M graph, timed warm — the
+    # per-insert cost at n=10M that the r4 verdict asked to be explained
+    if os.environ.get("G10M_SKIP_INSERT_PROBE") != "1":
+        from lantern_tpu.graph.build_device import device_insert
+
+        probe = 16384
+        extra, _ = gen(centers)
+        extra_rows = np.asarray(extra[:probe].astype(jnp.float32))
+        del extra
+        _stage("steady-state insert probe (16k rows at n=10M)")
+        t0 = time.perf_counter()
+        g = device_insert(g, extra_rows, batch=1024, seed=123,
+                          candidates="beam")
+        _ = int(jnp.sum(g.levels))
+        out["insert_probe_rows"] = probe
+        out["insert_probe_s"] = round(time.perf_counter() - t0, 1)
+        out["insert_probe_inserts_per_s"] = round(
+            probe / out["insert_probe_s"], 1)
+        _stage(f"insert probe {out['insert_probe_s']}s")
+
+    out["compile_total_s"] = round(compile_acc["s"], 1)
+    out["compile_events"] = compile_acc["n"]
 
     def _recall(ids, labels):
         lab = join_labels(np.asarray(labels)).astype(np.int64)

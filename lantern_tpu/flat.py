@@ -395,9 +395,9 @@ def flat_search_pq_rerank(
     # bf16, adding ~0.1 d2 noise — comparable to the per-rank gaps on
     # clustered data (~0.03-0.1 at jitter 0.35), which capped reranked
     # recall at 0.974 even with perfect shortlist coverage
-    # (benchmarks/exp_rerank_precision.py, r4). The rerank matmul is tiny
-    # ([Q, L, d] ~ 0.16 GFLOP at Q=1024/L=300/d=128), so the 6-pass f32
-    # emulation costs nothing next to the ADC scan it follows.
+    # (benchmarks/exp_rerank_precision.py, r4). The two rerank einsums (dots
+    # + x_sq below) total ~0.16 GFLOP at Q=1024/L=300/d=128 (~0.08 each),
+    # so the 6-pass f32 emulation costs nothing next to the ADC scan.
     dots = jnp.einsum("qd,qld->ql", qf, rows,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

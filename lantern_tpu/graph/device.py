@@ -58,6 +58,25 @@ class DeviceGraph:
     # dense MXU scan instead of a serialized greedy descent (profiled 101 ms
     # of a 260 ms batch at 1M). None -> search falls back to greedy descent.
     upper_ids: jax.Array | None = None    # [ucap] int32
+    # norm-folded row table [cap+1, dim+4] bf16: row = [x, hi(x2), lo(x2),
+    # 0, 0] with hi/lo a double-bf16 split of sq_norm (relative error
+    # ~2^-16, f32-class). The beam search's per-candidate x2 was a SCALAR
+    # element gather — profiled r5 at 467 us/iter (fusion.88), 30% of a 1M
+    # ef64 batch — while TPU row gathers are latency- not byte-bound
+    # (gather_rate_result.json: f32 512 B rows cost the same ns/row as bf16
+    # 256 B), so folding x2 INTO the gathered row makes it free: one einsum
+    # against query [q, -0.5, -0.5, 0, 0] yields q.x - x2/2 directly.
+    # Derived data: ONLY attached by with_aug_norms(); every insert path
+    # constructs a fresh DeviceGraph (field defaults to None), so a stale
+    # table cannot survive a mutation. Search falls back when None.
+    vectors_aug: jax.Array | None = None  # [cap, dim+AUG_COLS] bf16
+    # cached upper-subset tables for the entry scan: vectors[max(upper_ids,
+    # 0)] / sq_norms[...] are otherwise re-gathered EVERY batch (~1.1
+    # ms/batch at 1M, fusions 73/74 in the r5 trace). Derived data with the
+    # same lifecycle as vectors_aug: attached only by with_aug_norms, never
+    # survives an insert (fresh DeviceGraph construction drops it).
+    upper_vectors: jax.Array | None = None  # [ucap, width] storage dtype
+    upper_sq: jax.Array | None = None       # [ucap] f32
     # static (hashable) metadata — changing these retriggers jit
     m: int = struct.field(pytree_node=False, default=16)
     dim: int = struct.field(pytree_node=False, default=0)
@@ -76,6 +95,62 @@ class DeviceGraph:
     @property
     def m0(self) -> int:
         return self.neighbors0.shape[1]
+
+
+# extra columns appended by the norm-fold: [hi, lo, 0, 0]. Any width in
+# (dim, dim + 128] tiles to the same padded lane count on TPU, so 4 vs 2
+# costs nothing and leaves room for future per-row payloads.
+AUG_COLS = 4
+
+
+def aug_norms_table(vectors: jax.Array, sq_norms: jax.Array) -> jax.Array:
+    """[cap, dim+AUG_COLS] bf16 rows [x, hi(x2), lo(x2), 0, 0] (see
+    DeviceGraph.vectors_aug). hi/lo double-bf16: hi = bf16(x2),
+    lo = bf16(x2 - f32(hi)); products with the -0.5 query columns are exact
+    (powers of two), so the folded einsum reproduces q.x - x2/2 to ~2^-16
+    relative — the same error class as the bf16 dot itself."""
+    v = vectors.astype(jnp.bfloat16)
+    hi = sq_norms.astype(jnp.bfloat16)
+    lo = (sq_norms - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    pad = jnp.zeros((v.shape[0], AUG_COLS - 2), jnp.bfloat16)
+    return jnp.concatenate([v, hi[:, None], lo[:, None], pad], axis=1)
+
+
+def aug_queries(queries_f32: jax.Array) -> jax.Array:
+    """Query-side fold companion: [q, -0.5, -0.5, 0, 0] (f32)."""
+    q = queries_f32.shape[0]
+    half = jnp.full((q, 2), -0.5, jnp.float32)
+    pad = jnp.zeros((q, AUG_COLS - 2), jnp.float32)
+    return jnp.concatenate([queries_f32.astype(jnp.float32), half, pad], axis=1)
+
+
+def with_aug_norms(g: DeviceGraph) -> DeviceGraph:
+    """Attach the norm-folded row table when the graph qualifies (l2sq over
+    f32/bf16 storage), plus the cached upper-subset entry-scan tables.
+    No-op otherwise; idempotent. Call at device-mirror build time — NOT
+    inside jit."""
+    from lantern_tpu.config import QuantKind
+
+    if g.vectors_aug is not None:
+        return g
+    if Metric(g.metric) != Metric.L2SQ or g.vec_scales is not None:
+        return g
+    if g.quant not in (int(QuantKind.F32), int(QuantKind.F16)):
+        return g
+    upper_vectors = upper_sq = None
+    if g.upper_ids is not None and g.upper_ids.shape[0] > 1:
+        @jax.jit
+        def _upper_tabs(vectors, sq_norms, uids):
+            safe = jnp.maximum(uids, 0)
+            return vectors[safe], sq_norms[safe]
+
+        upper_vectors, upper_sq = _upper_tabs(g.vectors, g.sq_norms,
+                                              g.upper_ids)
+    return g.replace(
+        vectors_aug=jax.jit(aug_norms_table)(g.vectors, g.sq_norms),
+        upper_vectors=upper_vectors,
+        upper_sq=upper_sq,
+    )
 
 
 def upper_ids_from_slots(upper_slot: np.ndarray, ucap: int) -> np.ndarray:

@@ -79,6 +79,28 @@ def _candidate_dists(graph: DeviceGraph, queries, q_sq, cand_ids, lut=None):
             qb=16,
             interpret=jax.default_backend() == "cpu",
         )
+    if (
+        graph.vectors_aug is not None
+        and metric == Metric.L2SQ
+        and graph.vec_scales is None
+        and graph.quant != QUANT_PQ
+    ):
+        # norm-folded row gather (device.aug_norms_table): ONE row gather
+        # carries x AND x2; the einsum against [q, -0.5, -0.5, 0, 0] yields
+        # q.x - x2/2, so the [Q, C] sq_norms SCALAR gather (profiled 467
+        # us/iter at 1M ef64 — 30% of the batch, fusion.88 in the r5 trace)
+        # disappears. Row gathers are latency-bound, so the 4 extra columns
+        # are free (gather_rate_result.json).
+        from lantern_tpu.graph.device import aug_queries
+
+        rows = graph.vectors_aug[cand_ids]  # [Q, C, d+AUG_COLS]
+        dots = jnp.einsum(
+            "qe,qce->qc",
+            aug_queries(queries),
+            rows.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return q_sq[:, None] - 2.0 * dots
     if graph.quant == QUANT_PQ:
         from lantern_tpu.quant.pq import adc_distances
 
@@ -170,7 +192,7 @@ def _upper_descent(graph: DeviceGraph, queries, q_sq, lut=None):
     return curr, curr_d
 
 
-def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
+def _upper_entry_scan(graph: DeviceGraph, queries, q_sq, seeds: int = 1):
     """Entry selection by ONE dense scan over the upper-level node set.
 
     The reference walks upper layers greedily per query (scan.c via
@@ -182,8 +204,14 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
     local minimum of the level-1 graph, so entries here are typically
     better, and the level-0 beam absorbs the rare 0.1% miss.
 
-    Requires graph.upper_ids (slot -> node id). Returns (entry_ids [Q],
-    entry_d [Q]).
+    ``seeds`` > 1 returns the top-``seeds`` upper nodes — the beam starts
+    from several good, well-separated entries at once (the dense scan makes
+    multi-seeding free; a serial greedy descent cannot afford it). Missing
+    seeds (fewer scorable upper nodes than ``seeds``) get id -1 / dist inf;
+    seed 0 falls back to graph.entry so at least one live candidate exists.
+
+    Requires graph.upper_ids (slot -> node id). Returns (entry_ids
+    [Q, seeds], entry_d [Q, seeds]).
     """
     from lantern_tpu.flat import flat_search, flat_search_pq
     from lantern_tpu.graph.device import QUANT_PQ
@@ -192,31 +220,45 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
     safe = jnp.maximum(uids, 0)
     # blank slots, and (mid-growth graphs) planned-but-not-yet-inserted nodes
     excluded = jnp.logical_or(uids < 0, safe >= graph.num_nodes)
+    # single-seed keeps the near-exact entry (rt 0.999); multi-seed drops to
+    # rt 0.95 — approx_max_k's 0.999 reduction costs ~4x (CLAUDE.md), and
+    # with many seeds a 95%-quality seed set loses nothing the beam doesn't
+    # recover (r5 trace: the k=16 rt-0.999 scan was 11.8 ms of a 49.5 ms
+    # batch; rt 0.95 collapses it to ~1.5 ms at unchanged search recall)
+    seed_rt = 0.999 if seeds == 1 else 0.95
     if graph.quant == QUANT_PQ:
         d, loc = flat_search_pq(
             graph.vectors[safe], graph.pq_codebook, queries,
-            k=1, metric=graph.metric, deleted=excluded,
-            recall_target=0.999,
+            k=seeds, metric=graph.metric, deleted=excluded,
+            recall_target=seed_rt,
         )
     else:
+        # with_aug_norms caches the upper-subset tables — the [ucap, d]
+        # dense gather otherwise reruns every batch (~1.1 ms at 1M)
+        cached = (
+            graph.upper_vectors is not None
+            and graph.upper_sq is not None
+            and graph.vec_scales is None
+        )
         d, loc = flat_search(
-            graph.vectors[safe],
-            graph.sq_norms[safe],
+            graph.upper_vectors if cached else graph.vectors[safe],
+            graph.upper_sq if cached else graph.sq_norms[safe],
             queries,
-            k=1,
+            k=seeds,
             metric=graph.metric,
             vec_scales=(
                 graph.vec_scales[safe] if graph.vec_scales is not None else None
             ),
             deleted=excluded,
-            recall_target=0.999,
+            recall_target=seed_rt,
         )
-    found = loc[:, 0] >= 0
+    found = loc >= 0  # [Q, seeds]
     entry_ids = jnp.where(
-        found, safe[jnp.clip(loc[:, 0], 0, safe.shape[0] - 1)], graph.entry
+        found, safe[jnp.clip(loc, 0, safe.shape[0] - 1)], -1
     )
     # rare fallback (no scorable upper node): true distance to graph.entry
-    # so the entry itself stays a valid result candidate
+    # so the entry itself stays a valid result candidate — seed 0 only,
+    # further seeds stay invalid
     q = queries.shape[0]
     lut0 = None
     if graph.quant == QUANT_PQ:
@@ -227,7 +269,11 @@ def _upper_entry_scan(graph: DeviceGraph, queries, q_sq):
         graph, queries, q_sq,
         jnp.broadcast_to(graph.entry, (q,))[:, None], lut0,
     )[:, 0]
-    entry_d = jnp.where(found, d[:, 0], dflt)
+    entry_ids = entry_ids.at[:, 0].set(
+        jnp.where(found[:, 0], entry_ids[:, 0], graph.entry)
+    )
+    entry_d = jnp.where(found, d, _INF)
+    entry_d = entry_d.at[:, 0].set(jnp.where(found[:, 0], d[:, 0], dflt))
     return entry_ids, entry_d
 
 
@@ -252,7 +298,8 @@ def _dedup_fresh(ids, fresh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "expand", "max_iters", "with_stats")
+    jax.jit,
+    static_argnames=("k", "ef", "expand", "max_iters", "with_stats", "seeds"),
 )
 def search_batched(
     graph: DeviceGraph,
@@ -263,11 +310,18 @@ def search_batched(
     max_iters: int | None = None,
     with_stats: bool = False,
     exclude: jax.Array | None = None,
+    seeds: int = 1,
 ):
     """Batched k-NN search. queries [Q, width] -> (dists, ids, labels) [Q, k].
 
     Invalid result slots (fewer than k reachable live nodes) have id -1,
     dist +inf, label 0.
+
+    ``seeds``: number of upper-scan entry points placed in the initial beam
+    (requires graph.upper_ids; the greedy-descent fallback always uses 1).
+    The dense upper scan prices top-``seeds`` the same as top-1, and
+    starting from several separated entries reaches the query's basin in
+    fewer beam iterations.
 
     ``with_stats=True`` appends a stats dict — per-query visited/expanded
     node counts and the loop iteration count — the debugging surface the
@@ -310,13 +364,20 @@ def search_batched(
         lut = adc_lut(queries, graph.pq_codebook, metric)
 
     if graph.upper_ids is not None and graph.upper_ids.shape[0] > 1:
-        entry_ids, entry_d = _upper_entry_scan(graph, queries, q_sq)
+        seeds = max(1, min(seeds, ef))
+        entry_ids, entry_d = _upper_entry_scan(graph, queries, q_sq, seeds)
     else:
         entry_ids, entry_d = _upper_descent(graph, queries, q_sq, lut)
+        entry_ids, entry_d = entry_ids[:, None], entry_d[:, None]
+        seeds = 1
 
     # ---- level-0 beam state ----
-    beam_d = jnp.full((q, ef), _INF).at[:, 0].set(entry_d)
-    beam_ids = jnp.full((q, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
+    beam_d = jnp.concatenate(
+        [entry_d, jnp.full((q, ef - seeds), _INF)], axis=1
+    )
+    beam_ids = jnp.concatenate(
+        [entry_ids, jnp.full((q, ef - seeds), -1, jnp.int32)], axis=1
+    )
     expanded = jnp.zeros((q, ef), bool)
     # Re-visit filter: candidates already IN the beam, or in the log of
     # every id ever expanded, are skipped. The former visited BITMASK
@@ -330,7 +391,8 @@ def search_batched(
     # worse than the current beam floor cannot change the beam.
     log_w = expand * max_iters
     exp_log = jnp.full((q, log_w), -2, jnp.int32)  # -2: matches no id
-    visited_n = jnp.ones((q,), jnp.int32)  # entry counts as visited
+    # every scored seed counts as visited
+    visited_n = jnp.sum(jnp.isfinite(entry_d), axis=1).astype(jnp.int32)
 
     def active_mask(beam_d, beam_ids, expanded):
         valid = beam_ids >= 0

@@ -90,6 +90,9 @@ class Index:
         self._rerank_chunks: list[np.ndarray] = []
         self._rerank_rows = None  # cached concatenation of the chunks
         self._rerank_dev = None  # cached device (bf16 rows, f32 sq_norms)
+        # calibrated shortlist depth for rerank="auto":
+        # (depth, coverage, size_at_calibration) — see calibrate_rerank
+        self._rerank_auto = None
         self._log = None
         if log_path:
             import os
@@ -336,7 +339,9 @@ class Index:
                 g = to_device(eng, dtype=jnp.bfloat16)
             else:
                 g = to_device(eng)
-            self._graph = g
+            from lantern_tpu.graph.device import with_aug_norms
+
+            self._graph = with_aug_norms(g)
             self._graph_eng = eng
         return self._graph
 
@@ -348,7 +353,7 @@ class Index:
         params: SearchParams | None = None,
         mode: str = "auto",
         recall_target: float = 0.95,
-        rerank: int | None = None,
+        rerank: int | str | None = None,
         with_stats: bool = False,
         allow_labels: np.ndarray | None = None,
         deny_labels: np.ndarray | None = None,
@@ -365,7 +370,11 @@ class Index:
         ADC scan, then re-score it on DEVICE against a bf16 HBM copy of the
         full-precision rows (captured at add() or via set_rerank_source),
         all in one dispatch. Recovers full-precision recall (to bf16
-        rounding) at code-bytes scan cost.
+        rounding) at code-bytes scan cost. Pass ``rerank="auto"`` to size
+        the shortlist from measured ADC coverage on a sample of stored rows
+        (calibrated once per index via calibrate_rerank; re-calibrated
+        after >2x growth) — on clustered/high-d data a fixed depth silently
+        caps recall (BASELINE.md pq_960 story).
 
         ``with_stats=True`` appends a stats dict describing the executed
         plan — the ``lantern.masked_explain`` analog (lantern.sql:858-901):
@@ -406,6 +415,8 @@ class Index:
                 mask[rows[rows >= 0]] = True
             exclude = jnp.asarray(mask)
         if rerank is not None:
+            if rerank == "auto":
+                rerank = self._auto_rerank_depth(k)
             out = self._search_rerank(q, k, rerank, recall_target, exclude)
             if with_stats:
                 return (*out, {"mode": "flat_pq_rerank", "shortlist": rerank,
@@ -445,6 +456,122 @@ class Index:
             raise ValueError(f"unknown search mode {mode!r}")
         res = np.asarray(d), join_labels(np.asarray(labels))
         return (*res, stats) if with_stats else res
+
+    def _auto_rerank_depth(self, k: int) -> int:
+        """Resolve rerank="auto": calibrate once, recalibrate if the index
+        grew >2x since (coverage degrades as clusters grow past the
+        shortlist — the exact 960-d failure mode, BASELINE.md r4)."""
+        if (
+            self._rerank_auto is None
+            or self.size > 2 * max(self._rerank_auto[2], 1)
+        ):
+            self.calibrate_rerank(k=k)
+        return self._rerank_auto[0]
+
+    def calibrate_rerank(
+        self,
+        k: int = 10,
+        sample: int = 256,
+        target: float = 0.99,
+        ladder: tuple[int, ...] = (100, 300, 600, 1200, 2400),
+        recall_target: float = 0.95,
+        seed: int = 0,
+    ) -> dict:
+        """Size the PQ rerank shortlist from MEASURED ADC coverage.
+
+        The recall of two-stage PQ search is capped by shortlist coverage:
+        P(true top-k id appears in the ADC top-``shortlist``). On clustered
+        data a fixed default (300) silently caps recall — at 960 d the
+        default-looking rerank300 reads 0.83 while rerank600 reads 0.97
+        (BASELINE.md, pq_960_result.json). The reference's own answer to "a
+        too-shallow shortlist" is the growing-k re-search (scan.c:240-292);
+        here the depth is picked ONCE from data instead, so the steady-state
+        path stays a single two-stage dispatch.
+
+        Method: ``sample`` stored rows are drawn as queries (stored rows
+        reproduce the cluster structure that floods shortlists); their true
+        top-k comes from an exact f32 HIGHEST-precision scan of the rerank
+        source (never the default matmul — CLAUDE.md measurement
+        discipline); coverage@S is measured through the SAME approx ADC
+        retrieval the production path uses. The smallest ladder entry with
+        coverage >= ``target`` wins; if none reaches it, the deepest entry
+        is used and a warning is logged.
+
+        Returns {"depth", "coverage", "coverages", "sample", "k"} and caches
+        the depth for ``search(rerank="auto")``.
+        """
+        if not self.params.pq:
+            raise ValueError("calibrate_rerank applies to PQ indexes only")
+        rows = self._raw_rows
+        if rows is None:
+            raise ValueError(
+                "no rerank source: rows are captured by add(), or supply "
+                "them after load via set_rerank_source()"
+            )
+        import jax.numpy as jnp
+
+        from lantern_tpu.flat import flat_search, flat_search_pq
+
+        n = self.size
+        sample = min(sample, n)
+        ladder = tuple(s for s in ladder if s >= k) or (max(ladder),)
+        smax = min(max(ladder), n)
+        rng = np.random.default_rng(seed)
+        qrows = rows[rng.choice(n, size=sample, replace=False)]
+        q = jnp.asarray(qrows, jnp.float32)
+
+        # exact truth on the f32 source rows (HIGHEST precision inside
+        # flat_search(exact=True) since r4)
+        vecs = jnp.asarray(rows, jnp.float32)
+        sqn = jnp.asarray(
+            np.einsum("nd,nd->n", rows, rows).astype(np.float32)
+        )
+        g = self.device_graph
+        dele = g.deleted[: n] if bool(np.asarray(g.deleted[:n]).any()) else None
+        _, true_ids = flat_search(
+            vecs, sqn, q, k=k, metric=int(self.params.metric),
+            exact=True, deleted=dele,
+        )
+        true_np = np.asarray(true_ids)
+        del vecs, sqn
+
+        # ADC shortlist through the production retrieval (approx top-k at
+        # the same recall_target the search path uses)
+        _, sl_ids = flat_search_pq(
+            g.vectors[:n], g.pq_codebook, q, k=smax,
+            metric=int(self.params.metric), recall_target=recall_target,
+            deleted=dele, rotation=g.pq_rotation,
+        )
+        sl_np = np.asarray(sl_ids)
+
+        # rank of each true id within the shortlist (absent -> +inf)
+        pos = np.full(true_np.shape, np.inf)
+        for i in range(sample):
+            where = {int(v): j for j, v in enumerate(sl_np[i]) if v >= 0}
+            for t in range(true_np.shape[1]):
+                tid = int(true_np[i, t])
+                if tid in where:
+                    pos[i, t] = where[tid]
+        coverages = {s: float((pos < min(s, smax)).mean()) for s in ladder}
+        depth = next(
+            (s for s in ladder if coverages[s] >= target), max(ladder)
+        )
+        if coverages[depth] < target:
+            from lantern_tpu.utils.logger import Logger
+
+            Logger("index").warn(
+                f"rerank auto-calibration: coverage@{depth} = "
+                f"{coverages[depth]:.4f} < target {target}; recall will be "
+                f"capped — consider more subvectors or a deeper ladder"
+            )
+        self._rerank_auto = (int(depth), coverages[depth], n)
+        return {
+            "depth": int(depth),
+            "coverage": round(coverages[depth], 4),
+            "coverages": {str(s): round(c, 4) for s, c in coverages.items()},
+            "sample": sample,
+            "k": k,
+        }
 
     def _search_rerank(self, q, k: int, shortlist: int, recall_target: float,
                        exclude=None):

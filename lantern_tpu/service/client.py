@@ -156,11 +156,22 @@ class ExternalIndexClient:
                 f"vector rows are {vecs.shape[1] * 4} B but the declared "
                 f"init params frame {init.tuple_payload_bytes} B per tuple"
             )
+        import time
+
+        t0 = time.perf_counter()
         try:
+            # frames are batched into ~256 KiB writes: per-tuple sendall()
+            # costs one syscall each (1M syscalls for a 1M-row build);
+            # chunking cuts that ~500x. Wire bytes are identical.
+            buf = bytearray()
             for i in range(len(vecs)):
-                sock.sendall(proto.pack_tuple(int(labels[i]), vecs[i].tobytes()))
+                buf += proto.pack_tuple(int(labels[i]), vecs[i].tobytes())
                 failure_point("build", "on_send_tuple")
-            sock.sendall(proto.pack_end())
+                if len(buf) >= (256 << 10):
+                    sock.sendall(buf)
+                    buf.clear()
+            buf += proto.pack_end()
+            sock.sendall(buf)
         except (BrokenPipeError, ConnectionResetError) as e:
             # the server aborted mid-stream; its ERR frame may still be
             # buffered — surface the real message if we can read it
@@ -175,14 +186,26 @@ class ExternalIndexClient:
                 pass
             raise ConnectionError(f"server closed connection mid-stream: {e}")
 
+        t_stream = time.perf_counter()
         if self.reply_timeout is not None:
             sock.settimeout(self.reply_timeout)  # device bulk build runs now
         head = self._recv_exact(sock, 8)
         self._check_error_frame(head, sock)
         (count,) = struct.unpack("<Q", head)
+        t_built = time.perf_counter()  # count arrives when indexing is done
         (size,) = struct.unpack("<Q", self._recv_exact(sock, 8))
         data = self._recv_exact(sock, size)
+        t_done = time.perf_counter()
         self.close()
+        # phase timings, observable like the reference server's
+        # indexing/save/stream logs (server.rs:383-432) but client-side
+        self.last_timings = {
+            "stream_s": round(t_stream - t0, 3),
+            "ingest_tuples_per_s": round(len(vecs) / max(t_stream - t0, 1e-9), 1),
+            "build_wait_s": round(t_built - t_stream, 3),
+            "index_recv_s": round(t_done - t_built, 3),
+            "index_bytes": size,
+        }
         if count != len(vecs):
             raise proto.ProtocolError(f"server indexed {count} != sent {len(vecs)}")
         return data

@@ -32,3 +32,38 @@ def rng():
     # function-scoped so every test sees the same stream regardless of
     # execution order (a shared session generator made data order-dependent)
     return np.random.default_rng(0xA47E60DB)  # the reference's header magic
+
+
+# ---- compile-share accounting (VERDICT r4 #6: suite wall-time floor) ----
+# LANTERN_COMPILE_STATS=1 prints, at session end, how much of the shard's
+# wall time was XLA compilation — measured through jax.monitoring's
+# '/jax/backend_compile_time' duration events, the same hook the JAX
+# runtime uses for its own telemetry. This is the evidence behind the
+# CLAUDE.md statement on whether `make test` time is compile-bound.
+if os.environ.get("LANTERN_COMPILE_STATS") == "1":
+    import atexit
+    import time as _time
+
+    _compile = {"s": 0.0, "n": 0, "t0": _time.perf_counter()}
+
+    def _on_event(event: str, duration: float, **kw):
+        if "backend_compile" in event:
+            _compile["s"] += duration
+            _compile["n"] += 1
+
+    try:
+        from jax import monitoring as _mon
+
+        _mon.register_event_duration_secs_listener(_on_event)
+
+        @atexit.register
+        def _report():
+            wall = _time.perf_counter() - _compile["t0"]
+            print(
+                f"\n[compile-stats] {_compile['n']} compiles, "
+                f"{_compile['s']:.1f}s compile / {wall:.1f}s wall "
+                f"({100 * _compile['s'] / max(wall, 1e-9):.0f}%)",
+                flush=True,
+            )
+    except Exception:  # noqa: BLE001 — telemetry only, never break tests
+        pass
