@@ -52,7 +52,11 @@ from lantern_tpu.flat import flat_search_pq  # noqa: E402
 from lantern_tpu.parallel.sharded import _merge_topk  # noqa: E402
 
 NSHARD = 8
-N_PER = int(os.environ.get("MERGE_N_PER", 2_000_000))
+# default sized for THIS box: 8 x 2M codes never finished the scan-only
+# phase inside an hour on the 1 CPU core (r5) — the merge share is a
+# structural ratio, and the TPU-rate modeling below anchors the projected
+# shapes; raise via MERGE_N_PER on a bigger host.
+N_PER = int(os.environ.get("MERGE_N_PER", 250_000))
 S, KC, DSUB = 32, 256, 4
 DIM = S * DSUB
 Q = int(os.environ.get("MERGE_Q", 128))
