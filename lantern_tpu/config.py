@@ -159,6 +159,11 @@ class SearchParams:
     # batched-search engine knobs (no reference analog; TPU-specific):
     expand: int = 1  # beam entries expanded per iteration
     max_iters: int | None = None  # None -> derived bound
+    # upper-scan entry seeds placed in the initial beam: the dense entry
+    # scan prices top-8 like top-1, and multiple separated seeds raise
+    # recall at every iteration budget (BASELINE.md round 11). 1 restores
+    # the single-entry semantics of the serial reference.
+    seeds: int = 8
 
     def __post_init__(self):
         if not (1 <= self.k <= LDB_SCAN_K_MAX):

@@ -521,5 +521,6 @@ def search(graph: DeviceGraph, queries, params: SearchParams | None = None, **kw
         ef=ef,
         expand=params.expand,
         max_iters=params.max_iters,
+        seeds=params.seeds,
         **kw,
     )

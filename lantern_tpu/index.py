@@ -391,6 +391,9 @@ class Index:
         if params is not None:
             k, ef = params.k, params.ef
         ef = ef or self.params.ef
+        # multi-seed entries (SearchParams.seeds): recall-positive at every
+        # measured budget; seeds=1 restores single-entry semantics
+        seeds = params.seeds if params is not None else SearchParams().seeds
         import jax.numpy as jnp
 
         from lantern_tpu.config import QuantKind
@@ -445,13 +448,13 @@ class Index:
             if with_stats:
                 d, ids, labels, gstats = search_batched(
                     graph, q, k=k, ef=max(ef, k), with_stats=True,
-                    exclude=exclude,
+                    exclude=exclude, seeds=seeds,
                 )
                 stats.update({k2: np.asarray(v) for k2, v in gstats.items()},
                              ef=max(ef, k))
             else:
                 d, ids, labels = search_batched(graph, q, k=k, ef=max(ef, k),
-                                                exclude=exclude)
+                                                exclude=exclude, seeds=seeds)
         else:
             raise ValueError(f"unknown search mode {mode!r}")
         res = np.asarray(d), join_labels(np.asarray(labels))
