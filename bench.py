@@ -343,7 +343,7 @@ def bench_config(n, dim, q, iters, host_build: bool):
 
         g_pq = dataclasses.replace(
             g, vectors=codes, quant=QUANT_PQ, pq_codebook=cents,
-            vectors_aug=None,
+            vectors_aug=None, upper_vectors=None, upper_sq=None,
         )
         out["graph_pq"] = {}
         for ef in (64, 128):
@@ -354,17 +354,25 @@ def bench_config(n, dim, q, iters, host_build: bool):
                                          expand=expand, seeds=seeds)
                 return d
 
-            qps = _timed_qps(gpq_fn, g_pq, q_batches, q, iters)
-            _, ids_gp, labs_gp = search_batched(
-                g_pq, queries[:nq_r], k=K, ef=ef, expand=expand, seeds=seeds,
-            )
-            out["graph_pq"][f"ef{ef}"] = {
-                "qps": round(qps, 1),
-                "recall_vs_f32_truth": round(
-                    _recall(_graph_labels_np(ids_gp, labs_gp), true_np), 4
-                ),
-                "code_bytes_per_vector": int(codes.shape[1]),
-            }
+            # Mosaic/VMEM failures for new kernel shapes are COMPILE-time
+            # and TPU-only (CLAUDE.md) — never lose the whole artifact to
+            # this leg
+            try:
+                qps = _timed_qps(gpq_fn, g_pq, q_batches, q, iters)
+                _, ids_gp, labs_gp = search_batched(
+                    g_pq, queries[:nq_r], k=K, ef=ef, expand=expand,
+                    seeds=seeds,
+                )
+                out["graph_pq"][f"ef{ef}"] = {
+                    "qps": round(qps, 1),
+                    "recall_vs_f32_truth": round(
+                        _recall(_graph_labels_np(ids_gp, labs_gp), true_np), 4
+                    ),
+                    "code_bytes_per_vector": int(codes.shape[1]),
+                }
+            except Exception as e:  # noqa: BLE001
+                out["graph_pq"][f"ef{ef}"] = {"error": str(e)[:300]}
+                break
 
     # ---- CPU baseline: the native engine searches the IDENTICAL graph ----
     _stage(f"n={n}: cpu baseline")
@@ -474,7 +482,10 @@ def main():
 
     dim = int(os.environ.get("BENCH_DIM", 128))
     q = int(os.environ.get("BENCH_Q", 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # 24 in-jit batches for the graph legs (was 10): the ~40 ms dispatch
+    # RTT through the tunnel is 11% of a 35 ms/batch serving-config scan at
+    # 10 batches, 4.6% at r4's 86 ms — 24 holds the tax under ~5% for both
+    iters = int(os.environ.get("BENCH_ITERS", 24))
 
     # BENCH_ONLY=n100k|n1m runs one config (lets the full artifact be
     # assembled from two runs when an execution window is capped)

@@ -125,7 +125,10 @@ def main():
         _stage(f"device build ({tag}, donated bf16 vectors)")
         t0 = time.perf_counter()
         gg = build_on_device(tab, params, batch=1024, seed=0, donate=True,
-                             store="bf16", candidates=cand)
+                             store="bf16", candidates=cand,
+                             progress_cb=lambda f: _stage(
+                                 f"  build {tag} {f * 100:.0f}% enqueued"
+                             ))
         _ = int(jnp.sum(gg.levels))
         wall = time.perf_counter() - t0
         out[f"build_device_{tag}_s"] = round(wall, 1)
