@@ -62,6 +62,12 @@ class BuildState:
     m: int = struct.field(pytree_node=False, default=16)
     dim: int = struct.field(pytree_node=False, default=0)
     metric: int = struct.field(pytree_node=False, default=int(Metric.L2SQ))
+    # slot -> PLANNED node id (levels are drawn up front, so the inverse
+    # map is static for the whole build). Lets beam-candidate rounds use
+    # the dense upper-entry scan + multi-seeding instead of the serialized
+    # greedy descent (~100 ms/round at 1M, r2 profile); search masks ids
+    # >= st.n itself (not-yet-inserted nodes are excluded mid-growth).
+    upper_ids: jax.Array | None = None  # [ucap] int32
 
 
 def _graph_view(st: BuildState) -> DeviceGraph:
@@ -78,6 +84,7 @@ def _graph_view(st: BuildState) -> DeviceGraph:
         entry=st.entry,
         max_level=st.max_level,
         num_nodes=st.n,
+        upper_ids=st.upper_ids,
         m=st.m,
         dim=st.dim,
         metric=st.metric,
@@ -361,10 +368,12 @@ def _insert_round(st: BuildState, ids: jax.Array, level_ids: tuple, efc: int,
         )
     else:
         # 1) candidate search of current graph (expand=4: fewer, wider
-        # frontier iterations — same pool quality, ~4x fewer serial steps)
+        # frontier iterations — same pool quality, ~4x fewer serial steps).
+        # With the planned upper_ids map the search takes the dense entry
+        # scan + 16 seeds (r5: greedy descent alone was ~100 ms/round).
         d_cand, cand, _ = search_batched(
             _graph_view(st), qvecs.astype(st.vectors.dtype), k=efc, ef=efc,
-            expand=4
+            expand=4, seeds=16 if st.upper_ids is not None else 1,
         )
 
     # 2) within-batch candidates (exact); mask self and padding lanes
@@ -746,11 +755,31 @@ def device_insert(
          jnp.full((ucap_new - n_upper0, LMAX, m), -1, jnp.int32)],
         axis=0,
     )
+    # planned slot->id map for the grown graph (levels pre-drawn above):
+    # old real slots + the batch's new upper nodes, blank-padded. Computed
+    # BEFORE the rounds so beam-candidate searches take the dense entry
+    # scan (mid-growth ids >= st.n are masked by the search itself).
+    from lantern_tpu.graph.device import upper_ids_from_slots
+
+    up_ids = np.full(ucap_new, -1, np.int32)
+    if graph.upper_ids is not None:
+        old_ids = np.asarray(graph.upper_ids)
+        up_ids[:n_upper0] = old_ids[:n_upper0]
+    else:
+        up_ids[:n_upper0] = upper_ids_from_slots(
+            old_slots, max(n_upper0, 1)
+        )[:n_upper0]
+    up_ids[n_upper0 : n_upper0 + add_upper] = (
+        n0 + np.nonzero(new_levels >= 1)[0].astype(np.int32)
+    )
+    up_ids_dev = jnp.asarray(up_ids)
+
     st = BuildState(
         vectors=vecs, sq_norms=sqn, neighbors0=nbr0,
         upper_neighbors=upper, upper_slot=slots, levels=levels,
         entry=graph.entry, max_level=graph.max_level,
         n=jnp.asarray(n0, jnp.int32), m=m, dim=dim, metric=int(metric),
+        upper_ids=up_ids_dev,
     )
 
     all_levels = np.asarray(levels[:need])
@@ -810,28 +839,14 @@ def device_insert(
         out_vecs, out_scales = quantize_i8(st.vectors)
     elif restore_quant is not None:
         out_vecs = st.vectors.astype(restore_quant)
-    # slot->id map for the new total: keep the n_upper0 real slots, append
-    # the batch's new upper nodes in slot order, blank-pad to ucap_new
-    from lantern_tpu.graph.device import upper_ids_from_slots
-
-    up_ids = np.full(ucap_new, -1, np.int32)
-    if graph.upper_ids is not None:
-        old_ids = np.asarray(graph.upper_ids)
-        up_ids[:n_upper0] = old_ids[:n_upper0]
-    else:
-        up_ids[:n_upper0] = upper_ids_from_slots(
-            old_slots, max(n_upper0, 1)
-        )[:n_upper0]
-    up_ids[n_upper0 : n_upper0 + add_upper] = (
-        n0 + np.nonzero(new_levels >= 1)[0].astype(np.int32)
-    )
+    # slot->id map for the new total (computed before the rounds above)
     return DeviceGraph(
         vectors=out_vecs, sq_norms=st.sq_norms, neighbors0=st.neighbors0,
         upper_neighbors=st.upper_neighbors, upper_slot=st.upper_slot,
         levels=st.levels, labels=lab, deleted=deleted,
         entry=st.entry, max_level=st.max_level,
         num_nodes=jnp.asarray(need, jnp.int32),
-        upper_ids=jnp.asarray(up_ids),
+        upper_ids=st.upper_ids,  # up_ids_dev's buffer was donated with st
         m=m, dim=graph.dim, metric=int(metric), quant=graph.quant,
         vec_scales=out_scales,
         pq_codebook=pq_cb,
@@ -940,6 +955,9 @@ def build_on_device(
         sq = jnp.einsum("nd,nd->n", vec_dev, vec_dev,
                         preferred_element_type=jnp.float32)
     first = next(ramped_batches(n, batch))[1]  # first round's live count
+    from lantern_tpu.graph.device import upper_ids_from_slots
+
+    planned_upper_ids = jnp.asarray(upper_ids_from_slots(upper_slot, ucap))
     st = BuildState(
         vectors=vec_dev,
         sq_norms=sq,
@@ -953,6 +971,7 @@ def build_on_device(
         m=m,
         dim=params.dim,
         metric=int(metric),
+        upper_ids=planned_upper_ids,
     )
 
     # per-level id lists (level_ids[l-1] = ids with level >= l, -1 padded to
@@ -1017,7 +1036,10 @@ def build_on_device(
         entry=st.entry,
         max_level=st.max_level,
         num_nodes=jnp.asarray(n, jnp.int32),
-        upper_ids=jnp.asarray(upper_ids_from_slots(upper_slot, ucap)),
+        # NOT the pre-build planned_upper_ids object: insert_rounds donates
+        # the BuildState, which deletes the original buffer — the live
+        # alias is the one threaded through the rounds
+        upper_ids=st.upper_ids,
         m=m,
         dim=params.dim,
         metric=int(metric),

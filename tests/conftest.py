@@ -22,6 +22,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Suite wall-time floor, measured (r5, LANTERN_COMPILE_STATS=1 below):
+# 1,604 XLA:CPU compiles totaling ~740 s of a ~1,290 s full 3-shard run
+# — 57% compile share (70/55/49% per shard), avg 0.46 s per compile.
+# This CANNOT be cached away: the package intentionally disables the
+# persistent compilation cache on the CPU backend because XLA:CPU AOT
+# (de)serialization intermittently segfaults in this jaxlib (r3 finding,
+# lantern_tpu/__init__.py) — a re-test confirmed a warm rerun recompiles
+# everything (shard1: 280.7 s then 264.5 s compile). The remaining ~43%
+# is execute on ONE host core. Shards run in parallel in CI (6-7 min
+# each); serially on this box the suite floor is ~17-21 min.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
