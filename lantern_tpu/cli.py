@@ -257,7 +257,13 @@ def _cmd_search(args):
 
     ix = Index.load(args.index)
     queries = np.load(args.queries).astype(np.float32)
-    d, labels = ix.search(queries, k=args.k, ef=args.ef, mode=args.mode)
+    rerank = args.rerank
+    if rerank not in (None, "auto"):
+        rerank = int(rerank)
+    if rerank is not None and ix._raw_rows is None and args.rows:
+        ix.set_rerank_source(np.load(args.rows).astype(np.float32))
+    d, labels = ix.search(queries, k=args.k, ef=args.ef, mode=args.mode,
+                          rerank=rerank)
     for qi in range(len(queries)):
         row = [
             {"label": int(l), "dist": float(x)}
@@ -385,6 +391,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--ef", type=int, default=None)
     s.add_argument("--mode", default="auto", choices=["auto", "flat", "graph"])
+    s.add_argument("--rerank", default=None,
+                   help="PQ indexes: ADC shortlist size, or 'auto' to size "
+                        "it from measured coverage (calibrate_rerank)")
+    s.add_argument("--rows", default=None,
+                   help=".npy full-precision rows for rerank after load "
+                        "(set_rerank_source)")
     s.set_defaults(fn=_cmd_search)
     return ap
 

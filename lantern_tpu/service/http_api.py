@@ -218,13 +218,17 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 return self._err(400, "search needs 'vector' or 'text'")
-            rerank = b.get("rerank")  # PQ collections: ADC shortlist size
+            # PQ collections: ADC shortlist size, or "auto" to size it from
+            # measured coverage (Index.calibrate_rerank)
+            rerank = b.get("rerank")
+            if rerank is not None and rerank != "auto":
+                rerank = int(rerank)
             with col.lock:
                 # inserts mutate/realloc the engine arrays the device
                 # mirror is built from — searches must not race them
                 d, labels = col.index.search(
                     q, k=k, ef=int(ef) if ef else None,
-                    rerank=int(rerank) if rerank else None,
+                    rerank=rerank or None,
                 )
             out = []
             for dist, lab in zip(d[0], labels[0]):
