@@ -161,9 +161,17 @@ def main():
         from lantern_tpu.graph.build_device import device_insert
 
         probe = 16384
-        extra, _ = gen(centers)
-        extra_rows = np.asarray(extra[:probe].astype(jnp.float32))
-        del extra
+
+        # generate ONLY the probe rows — regenerating the full 10M table
+        # beside the built graph OOMs HBM (r5: RESOURCE_EXHAUSTED)
+        @jax.jit
+        def gen_probe(centers):
+            a = jax.random.randint(jax.random.PRNGKey(11), (probe,), 0,
+                                   n_centers)
+            return centers[a] + jitter * jax.random.normal(
+                jax.random.PRNGKey(12), (probe, dim), jnp.float32)
+
+        extra_rows = np.asarray(gen_probe(centers))
         _stage("steady-state insert probe (16k rows at n=10M)")
         t0 = time.perf_counter()
         g = device_insert(g, extra_rows, batch=1024, seed=123,
